@@ -1,0 +1,135 @@
+"""Transport-chain tests: LDPC encode/decode, rate matching, TB round trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_rx_tpu.phy.misc import binary_source, complex_awgn
+from neural_rx_tpu.phy.constellation import qam_points
+from neural_rx_tpu.phy.mapping import map_bits, demap_maxlog
+from neural_rx_tpu.phy.nr.mcs import mcs_to_qm_rate, calculate_tbs
+from neural_rx_tpu.phy.nr.ldpc import get_code, encode, decode
+from neural_rx_tpu.phy.nr.ldpc_tables import (base_graph, BG_PARAMS,
+                                              select_base_graph,
+                                              select_lifting_size)
+from neural_rx_tpu.phy.nr.tb import TBConfig, tb_encode, tb_decode
+
+
+class TestMCS:
+    def test_known_mcs(self):
+        assert mcs_to_qm_rate(9, 1) == (2, 679 / 1024)
+        assert mcs_to_qm_rate(14, 1) == (4, 553 / 1024)
+        assert mcs_to_qm_rate(19, 1) == (6, 517 / 1024)
+
+    def test_tbs_4prb_16qam(self):
+        # nrx_rt training config: 4 PRBs, 14 sym, DMRS 2 symbols fully
+        # reserved (2 CDM groups) -> 24 DMRS RE/PRB
+        qm, r = mcs_to_qm_rate(14, 1)
+        tbs = calculate_tbs(4, 14, 24, qm, r)
+        assert tbs % 8 == 0 and 1100 < tbs < 1400
+
+    def test_tbs_132prb_16qam_large(self):
+        qm, r = mcs_to_qm_rate(14, 1)
+        tbs = calculate_tbs(132, 14, 24, qm, r)
+        assert tbs > 3824  # multi-codeblock regime
+        assert (tbs + 24) % 8 == 0
+
+
+class TestBaseGraphs:
+    @pytest.mark.parametrize("bg", [1, 2])
+    def test_dimensions(self, bg):
+        p = BG_PARAMS[bg]
+        assert len(p["rows"]) == p["num_rows"]
+        assert max(max(r) for r in p["rows"]) == p["num_cols"] - 1
+        # extension rows end with their identity column
+        for r in range(4, p["num_rows"]):
+            assert p["rows"][r][-1] == p["k_b"] + r
+
+    @pytest.mark.parametrize("bg,z", [(1, 384), (2, 128), (2, 80), (1, 52)])
+    def test_parity_check_holds(self, bg, z):
+        """Encoded codewords must satisfy every lifted parity check."""
+        code = get_code(bg, z)
+        rng = np.random.default_rng(0)
+        info = jnp.asarray(rng.integers(0, 2, (3, code.k)).astype(np.float32))
+        cw = np.asarray(encode(code, info))
+        rows, shifts = base_graph(bg, z)
+        blocks = cw.reshape(3, code.num_cols, z)
+        for r, cols in enumerate(rows):
+            acc = np.zeros((3, z))
+            for c in cols:
+                acc += np.roll(blocks[:, c, :], -shifts[(r, c)], axis=-1)
+            assert np.all(acc % 2 == 0), f"row {r} violated"
+
+
+class TestLDPCDecode:
+    @pytest.mark.parametrize("cn_type", ["boxplus", "minsum"])
+    def test_noiseless_decode(self, cn_type):
+        code = get_code(2, 64)
+        rng = np.random.default_rng(1)
+        info = jnp.asarray(rng.integers(0, 2, (2, code.k)).astype(np.float32))
+        cw = encode(code, info)
+        # perfect LLRs (log p0/p1): +5 for bit 0, -5 for bit 1
+        llr = 5.0 * (1.0 - 2.0 * cw)
+        hard = decode(code, llr, num_iter=5, cn_type=cn_type)
+        np.testing.assert_array_equal(np.asarray(hard[..., :code.k]),
+                                      np.asarray(info))
+
+    def test_noisy_decode_corrects_errors(self):
+        code = get_code(2, 64)
+        rng = np.random.default_rng(2)
+        info = jnp.asarray(rng.integers(0, 2, (4, code.k)).astype(np.float32))
+        cw = np.asarray(encode(code, info))
+        # BPSK over AWGN at moderate SNR, all bits transmitted (rate k/n)
+        x = 1.0 - 2.0 * cw
+        sigma = 0.6
+        y = x + sigma * rng.standard_normal(x.shape)
+        llr = jnp.asarray(2.0 * y / sigma**2)  # log(p0/p1)
+        hard = decode(code, llr, num_iter=20, cn_type="boxplus")
+        uncoded_errs = np.sum((y < 0) != cw)
+        coded_errs = np.sum(np.asarray(hard[..., :code.k]) != np.asarray(info))
+        assert uncoded_errs > 0  # the channel actually flipped bits
+        assert coded_errs == 0
+
+
+class TestTransportBlock:
+    def _roundtrip(self, tbs_prbs, mcs, num_data_re, batch=2, snr_db=30.0):
+        qm, r = mcs_to_qm_rate(mcs, 1)
+        tbs = calculate_tbs(tbs_prbs, 14, 24, qm, r)
+        g = num_data_re * qm
+        cfg = TBConfig(tbs, g, qm, r)
+        key = jax.random.PRNGKey(0)
+        bits = binary_source(key, (batch, tbs))
+        coded = tb_encode(cfg, bits)
+        assert coded.shape == (batch, g)
+        # modulate + AWGN + demap
+        pts = jnp.asarray(qam_points(qm))
+        sym = map_bits(coded, pts)
+        no = 10 ** (-snr_db / 10)
+        y = sym + complex_awgn(jax.random.PRNGKey(1), sym.shape, no)
+        llr = demap_maxlog(y, pts, jnp.asarray(no)).reshape(batch, -1)
+        b_hat, ok = tb_decode(cfg, llr)
+        np.testing.assert_array_equal(np.asarray(b_hat), np.asarray(bits))
+        assert bool(jnp.all(ok))
+        return cfg
+
+    def test_single_codeblock_bg2(self):
+        cfg = self._roundtrip(4, 14, 576)
+        assert cfg.bg == 2 and cfg.num_cbs == 1
+
+    def test_multi_codeblock_bg1(self):
+        cfg = self._roundtrip(132, 14, 12 * 132 * 12)
+        assert cfg.bg == 1 and cfg.num_cbs > 1
+
+    def test_qpsk(self):
+        cfg = self._roundtrip(4, 9, 576)
+        assert cfg.qm == 2
+
+    def test_crc_detects_failure(self):
+        qm, r = mcs_to_qm_rate(14, 1)
+        tbs = calculate_tbs(4, 14, 24, qm, r)
+        cfg = TBConfig(tbs, 576 * qm, qm, r)
+        # garbage LLRs -> CRC must fail (w.h.p.)
+        llr = jax.random.normal(jax.random.PRNGKey(7), (2, 576 * qm)) * 3
+        _, ok = tb_decode(cfg, llr)
+        assert not bool(jnp.any(ok))
