@@ -1,0 +1,140 @@
+"""LS channel estimation + nearest-neighbor / linear interpolation.
+
+First-party replacement for the reference's `MyLSChannelEstimatorNP`
+(`utils/neural_rx.py:1129-1381`) and `NearestNeighborInterpolator`
+(`:919-1081`), re-designed for TPU: the Manhattan-distance argmin gather
+map is precomputed in NumPy at configuration time; on the hot path the
+whole estimate is one gather + one divide, fully jittable and
+shard-local (pilot comb indices are static).
+
+Semantics match the reference:
+- LS at pilot REs: h_ls = y / p where |p|>0, else 0 (safe divide,
+  neural_rx.py:1289-1294).
+- err_var = no / |p|^2 at pilot REs (neural_rx.py:1312-1315).
+- NN interpolation: for every RE the nearest (Manhattan distance,
+  zero-energy pilots excluded, first-index tie-break) pilot estimate is
+  replicated (neural_rx.py:974-1000).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+class LSChannelEstimator:
+    """LS estimator over a static ResourceGrid.
+
+    Estimates the per-UE *effective* (post-precoding) channel, one value
+    per (rx antenna, tx) per RE, like the reference LS+NN path.
+    """
+
+    def __init__(self, resource_grid, interpolation_type: str = "nn",
+                 slot_number: int | None = None):
+        rg = resource_grid
+        self.rg = rg
+        self.interpolation_type = interpolation_type
+        slot = rg.configs[0].carrier.slot_number if slot_number is None \
+            else slot_number
+
+        mask = rg.pilot_mask  # [14, sc], same for all tx
+        self._pilot_flat_ind = np.flatnonzero(mask.reshape(-1)).astype(
+            np.int32)  # [n_pilots] row-major (symbol-major)
+        # Per-TX pilot values in the same flat order
+        self.pilots = rg.pilots[slot]  # [num_tx, n_pilots] complex
+
+        # Precompute per-TX NN gather indices [num_tx, 14, sc] -> pilot idx
+        n_sym, n_sc = mask.shape
+        i_p, j_p = np.where(mask)
+        gather = np.zeros((rg.num_tx, n_sym, n_sc), np.int32)
+        for tx in range(rg.num_tx):
+            zero = np.abs(self.pilots[tx]) == 0
+            # distance grid: [n_sym, n_sc, n_pilots]
+            d = (np.abs(np.arange(n_sym)[:, None, None] - i_p[None, None, :])
+                 + np.abs(np.arange(n_sc)[None, :, None] - j_p[None, None, :])
+                 ).astype(np.int64)
+            d[:, :, zero] = n_sym + n_sc  # max possible distance
+            gather[tx] = np.argmin(d, axis=-1)
+        self._gather_ind = gather
+
+        # Safe reciprocal of pilots (0 where pilot is 0)
+        p = self.pilots
+        self._pilot_inv = np.where(np.abs(p) > 0, 1.0 / np.where(
+            np.abs(p) > 0, p, 1.0), 0.0).astype(np.complex64)
+        self._pilot_pow_inv = np.where(
+            np.abs(p) > 0, 1.0 / np.maximum(np.abs(p) ** 2, 1e-12), 0.0
+        ).astype(np.float32)
+
+    def __call__(self, y: jnp.ndarray, no) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """y: [batch, num_rx_ant, 14, sc] -> (h_hat, err_var).
+
+        h_hat: [batch, num_rx_ant, num_tx, 14, sc] complex — per-UE
+        effective channel estimate over the full grid.
+        err_var: same shape, float.
+        """
+        rg = self.rg
+        b, n_ant = y.shape[0], y.shape[1]
+        y_flat = y.reshape(b, n_ant, -1)
+        y_p = y_flat[..., self._pilot_flat_ind]  # [b, ant, n_pilots]
+
+        # LS per TX: h_ls[b, ant, tx, n_pilots]
+        h_ls = y_p[:, :, None, :] * jnp.asarray(self._pilot_inv)[None, None]
+        ev = jnp.asarray(no, jnp.float32) * jnp.ones((b, n_ant, 1, 1))
+        ev = ev * jnp.asarray(self._pilot_pow_inv)[None, None]
+
+        if self.interpolation_type == "nn":
+            gi = jnp.asarray(self._gather_ind)  # [tx, 14, sc]
+            # per-tx gather over the pilot axis: h[b, ant, tx, 14, sc]
+            h_hat = h_ls[:, :, jnp.arange(rg.num_tx)[:, None, None], gi]
+            err_var = ev[:, :, jnp.arange(rg.num_tx)[:, None, None], gi]
+            return h_hat, err_var
+        if self.interpolation_type == "lin":
+            return self._interpolate_linear(h_ls, ev)
+        raise ValueError(f"unknown interpolation {self.interpolation_type}")
+
+    # -- linear interpolation over frequency, nearest over time ---------
+    def _interpolate_linear(self, h_ls, ev):
+        """Linear interpolation in frequency per DMRS symbol, then
+        nearest/linear in time (reference "lslin" baseline analog)."""
+        rg = self.rg
+        mask = rg.pilot_mask
+        n_sym, n_sc = mask.shape
+        dmrs_syms = sorted(set(np.where(mask.any(axis=1))[0].tolist()))
+        outs = []
+        for tx in range(rg.num_tx):
+            nz = np.abs(self.pilots[tx]) > 0
+            i_p, j_p = np.where(mask)
+            h_tx = h_ls[:, :, tx]  # [b, ant, n_pilots]
+            per_sym = []
+            for s in dmrs_syms:
+                sel = (i_p == s) & nz
+                idx = np.where(sel)[0]
+                scs = j_p[sel]
+                # linear interp across subcarriers (static index arithmetic)
+                xi = np.arange(n_sc, dtype=np.float32)
+                # for each target sc find left/right pilot neighbors
+                left = np.clip(np.searchsorted(scs, xi, "right") - 1,
+                               0, len(scs) - 1)
+                right = np.clip(left + 1, 0, len(scs) - 1)
+                x0, x1 = scs[left], scs[right]
+                w1 = np.where(x1 > x0, (xi - x0) / np.maximum(x1 - x0, 1), 0.)
+                w1 = np.clip(w1, 0.0, 1.0).astype(np.float32)
+                h0 = h_tx[..., idx[left]]
+                h1 = h_tx[..., idx[right]]
+                per_sym.append(h0 + (h1 - h0) * jnp.asarray(w1))
+            # time: piecewise-linear between DMRS symbols, flat at edges
+            t = np.asarray(dmrs_syms, np.float32)
+            ti = np.arange(n_sym, dtype=np.float32)
+            lt = np.clip(np.searchsorted(t, ti, "right") - 1, 0, len(t) - 1)
+            rt = np.clip(lt + 1, 0, len(t) - 1)
+            t0, t1 = t[lt], t[rt]
+            wt = np.where(t1 > t0, (ti - t0) / np.maximum(t1 - t0, 1), 0.)
+            wt = np.clip(wt, 0.0, 1.0).astype(np.float32)
+            hs = jnp.stack(per_sym, axis=-2)  # [b, ant, n_dmrs_syms, sc]
+            h0 = hs[..., lt, :]
+            h1 = hs[..., rt, :]
+            outs.append(h0 + (h1 - h0) * jnp.asarray(wt)[:, None])
+        h_hat = jnp.stack(outs, axis=2)  # [b, ant, tx, 14, sc]
+        gi = jnp.asarray(self._gather_ind)
+        err_var = ev[:, :, jnp.arange(rg.num_tx)[:, None, None], gi]
+        return h_hat, err_var

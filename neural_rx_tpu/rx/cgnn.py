@@ -1,0 +1,323 @@
+"""CGNN neural-receiver core: conv + graph-aggregation network.
+
+TPU-first re-implementation of the reference architecture
+(`utils/neural_rx.py:61-595`, original TF design in
+`utils/neural_rx copy_pytorch.py` — the fork's lazily-built CGNNIt bug is
+NOT replicated; each iteration = AggregateUserStates + UpdateState with a
+residual skip, per the original).
+
+Design choices for TPU:
+- Functional modules: parameters are plain nested dicts (pytrees), so
+  they compose with optax/orbax/pjit without framework glue.
+- Channels-last layout [batch*num_tx, sym, sc, ch]: separable 3x3 convs
+  lower to depthwise conv + a pointwise matmul that XLA places on the
+  MXU; all per-RE MLPs (aggregation, readouts) are matmuls over the
+  trailing channel dim.
+- The whole forward is shape-static: users/MCS are masked, never
+  reshaped (enables PRB-bucketed AOT compilation and grid sharding).
+- Optional bf16 compute with f32 parameters (`dtype` argument): matches
+  the reference's fp16 TensorRT deployment (nrx_dtype,
+  export_onnx.py --fp16).
+
+Architecture constants reproduce the reference exactly; for the nrx_rt
+config the parameter count is 142,922 (verified against
+weights/nrx_rt_weights: StateInit 28,634 + 2 x (7,288 agg + 41,786
+update) + 7,812 LLR readout + 8,328 chest readout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Parameter init (Keras-default glorot_uniform kernels, zero biases)
+# ---------------------------------------------------------------------------
+
+def _glorot(key, shape, fan_in, fan_out):
+    limit = np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def _init_sepconv(key, c_in, c_out):
+    k1, k2 = jax.random.split(key)
+    # depthwise 3x3 (HWIO with feature_group_count=c_in -> [3,3,1,c_in])
+    dw = _glorot(k1, (3, 3, 1, c_in), fan_in=9, fan_out=9)
+    pw = _glorot(k2, (c_in, c_out), c_in, c_out)
+    return {"dw": dw, "pw": pw, "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def _init_conv(key, c_in, c_out):
+    k1, = jax.random.split(key, 1)
+    w = _glorot(k1, (3, 3, c_in, c_out), 9 * c_in, 9 * c_out)
+    return {"w": w, "b": jnp.zeros((c_out,), jnp.float32)}
+
+
+def _init_dense(key, d_in, d_out):
+    return {"w": _glorot(key, (d_in, d_out), d_in, d_out),
+            "b": jnp.zeros((d_out,), jnp.float32)}
+
+
+def _init_conv_stack(key, c_in, hidden: Sequence[int], c_out, layer_type):
+    keys = jax.random.split(key, len(hidden) + 1)
+    init = _init_sepconv if layer_type == "sepconv" else _init_conv
+    layers = []
+    c = c_in
+    for k, n in zip(keys[:-1], hidden):
+        layers.append(init(k, c, n))
+        c = n
+    return {"hidden": layers, "out": init(keys[-1], c, c_out)}
+
+
+def _init_mlp(key, d_in, hidden: Sequence[int], d_out):
+    keys = jax.random.split(key, len(hidden) + 1)
+    layers = []
+    d = d_in
+    for k, n in zip(keys[:-1], hidden):
+        layers.append(_init_dense(k, d, n))
+        d = n
+    return {"hidden": layers, "out": _init_dense(keys[-1], d, d_out)}
+
+
+# ---------------------------------------------------------------------------
+# Layer applications
+# ---------------------------------------------------------------------------
+
+def _apply_sepconv(p, x):
+    """x: [N, H, W, C] -> [N, H, W, C_out]; depthwise 3x3 + pointwise."""
+    c_in = x.shape[-1]
+    dw = p["dw"].astype(x.dtype)
+    y = jax.lax.conv_general_dilated(
+        x, dw, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c_in)
+    return y @ p["pw"].astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def _apply_conv(p, x):
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"].astype(x.dtype)
+
+
+def _apply_conv_stack(p, x, layer_type):
+    f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
+    for lp in p["hidden"]:
+        x = jax.nn.relu(f(lp, x))
+    return f(p["out"], x)
+
+
+def _apply_mlp(p, x):
+    for lp in p["hidden"]:
+        x = jax.nn.relu(x @ lp["w"].astype(x.dtype)
+                        + lp["b"].astype(x.dtype))
+    return x @ p["out"]["w"].astype(x.dtype) + p["out"]["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# CGNN
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CGNNConfig:
+    """Static hyper-parameters (reference [neural_receiver] cfg section)."""
+    num_bits_per_symbol: tuple  # one entry per MCS
+    num_rx_ant: int
+    num_it: int
+    d_s: int
+    num_units_init: tuple
+    num_units_agg: tuple    # per iteration: tuple of hidden sizes
+    num_units_state: tuple  # per iteration: tuple of hidden sizes
+    num_units_readout: tuple
+    layer_type_conv: str = "sepconv"
+    var_mcs_masking: bool = False
+    initial_chest: bool = True  # h_hat input present
+
+    @property
+    def num_mcs(self):
+        return len(self.num_bits_per_symbol)
+
+    @property
+    def in_channels(self):
+        # 2*rx_ant (y re/im) + 2 (pe) + 2*rx_ant (h_hat re/im if present)
+        c = 2 * self.num_rx_ant + 2
+        if self.initial_chest:
+            c += 2 * self.num_rx_ant
+        return c
+
+
+def init_cgnn_params(key, cfg: CGNNConfig):
+    keys = jax.random.split(key, 4 + cfg.num_it)
+    params = {}
+    # State init: one per MCS, or a single shared one (var-MCS masking)
+    n_init = 1 if cfg.var_mcs_masking else cfg.num_mcs
+    params["s_init"] = [
+        _init_conv_stack(jax.random.fold_in(keys[0], i), cfg.in_channels,
+                         cfg.num_units_init, cfg.d_s, cfg.layer_type_conv)
+        for i in range(n_init)]
+    # Iterations
+    its = []
+    for i in range(cfg.num_it):
+        k_a, k_u = jax.random.split(keys[1 + i])
+        agg = _init_mlp(k_a, cfg.d_s, cfg.num_units_agg[i], cfg.d_s)
+        upd = _init_conv_stack(k_u, 2 * cfg.d_s + 2, cfg.num_units_state[i],
+                               cfg.d_s, cfg.layer_type_conv)
+        its.append({"agg": agg, "update": upd})
+    params["iterations"] = its
+    # Readouts
+    if cfg.var_mcs_masking:
+        params["readout_llrs"] = [_init_mlp(
+            keys[-2], cfg.d_s, cfg.num_units_readout,
+            max(cfg.num_bits_per_symbol))]
+    else:
+        params["readout_llrs"] = [
+            _init_mlp(jax.random.fold_in(keys[-2], i), cfg.d_s,
+                      cfg.num_units_readout, nb)
+            for i, nb in enumerate(cfg.num_bits_per_symbol)]
+    params["readout_chest"] = _init_mlp(keys[-1], cfg.d_s,
+                                        cfg.num_units_readout,
+                                        2 * cfg.num_rx_ant)
+    return params
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+
+
+def _aggregate_user_states(p, s, active_tx, dtype):
+    """GNN message passing (reference neural_rx.py:135-207).
+
+    s: [b, T, sym, sc, d_s]; active_tx: [b, T].
+    a_n = (sum_{n' active} sp_{n'} - sp_n) / max(num_active - 1, 1).
+    """
+    sp = _apply_mlp(p, s)
+    mask = active_tx.astype(dtype)[:, :, None, None, None]
+    sp = sp * mask
+    a = jnp.sum(sp, axis=1, keepdims=True) - sp
+    p_cnt = jnp.sum(mask, axis=1, keepdims=True) - 1.0
+    p_cnt = jax.nn.relu(p_cnt)  # clip -1 (no active) to 0
+    scale = jnp.where(p_cnt == 0.0, jnp.asarray(1.0, dtype), 1.0 / p_cnt)
+    return a * scale
+
+
+def _update_state(p, s, a, pe, layer_type):
+    """Conv state update with residual skip (reference :210-270)."""
+    b, t = s.shape[0], s.shape[1]
+    pe_b = jnp.broadcast_to(pe[None], (b,) + pe.shape)
+    z = jnp.concatenate([a, s, pe_b], axis=-1)
+    z = z.reshape((b * t,) + z.shape[2:])
+    z = _apply_conv_stack(p, z, layer_type)
+    return z.reshape((b, t) + z.shape[1:]) + s
+
+
+def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
+               mcs_ue_mask, num_it: int | None = None,
+               training: bool = False, apply_multiloss: bool = False,
+               dtype=jnp.float32):
+    """Forward pass (reference CGNN.forward, neural_rx.py:544-595).
+
+    y: [b, sym, sc, 2*rx_ant] real; pe: [T, sym, sc, 2];
+    h_hat: [b, T, sym, sc, 2*rx_ant] or None; active_tx: [b, T];
+    mcs_ue_mask: [b, T, num_mcs] one-hot.
+
+    Returns (llrs, h_hats): llrs is a list over readout points, each a
+    list over MCS of [b, T, sym, sc, num_bits]; h_hats a list of
+    [b, T, sym, sc, 2*rx_ant].
+    """
+    num_it = cfg.num_it if num_it is None else num_it
+    assert 1 <= num_it <= cfg.num_it
+    b = y.shape[0]
+    t = pe.shape[0]
+
+    # Input power normalization: unit mean power per batch sample
+    norm = jax.lax.rsqrt(jnp.mean(y.astype(jnp.float32) ** 2,
+                                  axis=(1, 2, 3), keepdims=True) + 1e-12)
+    y = (y * norm).astype(dtype)
+    pe = pe.astype(dtype)
+    if h_hat is not None:
+        h_hat = (h_hat * norm[:, None]).astype(dtype)
+
+    # Stack per-user input: broadcast y to all users
+    y_b = jnp.broadcast_to(y[:, None], (b, t) + y.shape[1:])
+    pe_b = jnp.broadcast_to(pe[None], (b, t) + pe.shape[1:])
+    feats = [y_b, pe_b] + ([h_hat] if h_hat is not None else [])
+    z0 = jnp.concatenate(feats, axis=-1)
+    z0_flat = z0.reshape((b * t,) + z0.shape[2:])
+
+    def run_init(p):
+        s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv)
+        return s.reshape((b, t) + s.shape[1:])
+
+    if cfg.var_mcs_masking:
+        s = run_init(params["s_init"][0])
+    else:
+        mm = mcs_ue_mask.astype(dtype)
+        s = run_init(params["s_init"][0]) * mm[:, :, 0:1][..., None, None]
+        for idx in range(1, cfg.num_mcs):
+            s = s + (run_init(params["s_init"][idx])
+                     * mm[:, :, idx:idx + 1][..., None, None])
+
+    llrs, h_hats = [], []
+    for i in range(num_it):
+        it_p = params["iterations"][i]
+        a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
+        s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv)
+        if (training and apply_multiloss) or i == num_it - 1:
+            per_mcs = []
+            for idx in range(cfg.num_mcs):
+                if cfg.var_mcs_masking:
+                    out = _apply_mlp(params["readout_llrs"][0], s)
+                    out = out[..., :cfg.num_bits_per_symbol[idx]]
+                else:
+                    out = _apply_mlp(params["readout_llrs"][idx], s)
+                per_mcs.append(out.astype(jnp.float32))
+            llrs.append(per_mcs)
+            h_hats.append(_apply_mlp(params["readout_chest"], s)
+                          .astype(jnp.float32))
+    return llrs, h_hats
+
+
+# ---------------------------------------------------------------------------
+# Positional encoding precompute (reference CGNNOFDM, neural_rx.py:693-802)
+# ---------------------------------------------------------------------------
+
+def pilot_positional_encoding(dmrs_grids: np.ndarray,
+                              pilot_mask: np.ndarray) -> np.ndarray:
+    """2-D positional encoding: z-scored distance to the nearest own pilot.
+
+    dmrs_grids: [num_tx, sym, sc] complex (one slot's DMRS bank entry).
+    pilot_mask: [sym, sc] bool (union mask; unused beyond shape — kept for
+    interface clarity with the grid).
+    Returns [num_tx, sym, sc, 2] float32 (time-dist, freq-dist), each
+    z-scored per the reference: time over the symbol axis per (tx, sc),
+    freq over the subcarrier axis per (tx, sym).
+    """
+    num_tx, n_sym, n_sc = dmrs_grids.shape
+    out = np.zeros((num_tx, n_sym, n_sc, 2), np.float32)
+    for tx in range(num_tx):
+        ip, jp = np.where(np.abs(dmrs_grids[tx]) > 1e-3)
+        dt = np.abs(np.arange(n_sym)[:, None, None] - ip[None, None, :])
+        df = np.abs(np.arange(n_sc)[None, :, None] - jp[None, None, :])
+        nearest_t = dt.min(-1).astype(np.float64)  # [sym, 1] broadcast
+        nearest_t = np.broadcast_to(nearest_t, (n_sym, n_sc)).astype(
+            np.float64).copy()
+        nearest_f = np.broadcast_to(df.min(-1), (n_sym, n_sc)).astype(
+            np.float64).copy()
+        # z-score: time over symbols (axis 0), freq over subcarriers (ax 1)
+        nearest_t -= nearest_t.mean(axis=0, keepdims=True)
+        std = nearest_t.std(axis=0, keepdims=True)
+        nearest_t = np.where(std > 0, nearest_t / np.where(std > 0, std, 1),
+                             nearest_t)
+        nearest_f -= nearest_f.mean(axis=1, keepdims=True)
+        std = nearest_f.std(axis=1, keepdims=True)
+        nearest_f = np.where(std > 0, nearest_f / np.where(std > 0, std, 1),
+                             nearest_f)
+        out[tx, ..., 0] = nearest_t
+        out[tx, ..., 1] = nearest_f
+    return out

@@ -1,0 +1,212 @@
+"""End-to-end system model: TX -> channel -> RX (training & eval).
+
+TPU-native re-design of the reference `utils/e2e_model.py` (original TF
+semantics from `utils/e2e_model copy.py:280-512`): multi-MCS transmit
+superposition via one-hot mcs_ue_mask, random active-DMRS-port masking,
+random per-step pilot slots, rate-adjusted SNR (incl. pilotless
+adjustment), CFO impairment, frequency-domain channel, then the neural
+receiver (training: losses; eval: decoded bits + CRC).
+
+Functional: all state lives in `params` (CGNN weights + optional
+trainable constellations); randomness is explicit via PRNG keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..phy.misc import binary_source, ebnodb2no
+from ..phy.constellation import Constellation
+from ..phy.nr.tb import tb_encode
+from ..channel.apply import apply_ofdm_channel
+from ..rx.neural_rx import NeuralPUSCHReceiver
+
+
+def sample_active_dmrs(key, batch_size: int, num_tx, max_num_tx: int):
+    """Random permutation mask with `num_tx` active ports per sample
+    (reference e2e_model.py:187-193). num_tx may be a traced scalar."""
+    scores = jax.random.uniform(key, (batch_size, max_num_tx))
+    rank = jnp.argsort(jnp.argsort(scores, axis=-1), axis=-1)
+    return (rank < num_tx).astype(jnp.float32)
+
+
+class E2EModel:
+    """TX->channel->RX composition for one Parameters object."""
+
+    def __init__(self, sys_parameters, training: bool = False,
+                 mesh=None):
+        self.p = sys_parameters
+        self.training = training
+        # Optional ("data","grid") mesh: batch sharded over "data",
+        # subcarriers over "grid" (XLA SPMD inserts conv halo exchanges)
+        self.mesh = mesh
+        p = self.p
+        self.transmitters = p.transmitters
+        self.num_mcs = len(p.mcs_index)
+        initial_chest = p.initial_chest if p.initial_chest in ("ls", "nn") \
+            else None
+        self.receiver = NeuralPUSCHReceiver(
+            p.transmitters, num_rx_ant=p.num_rx_antennas,
+            max_num_tx=p.max_num_tx, num_it=p.num_nrx_iter,
+            d_s=p.d_s, num_units_init=p.num_units_init,
+            num_units_agg=p.num_units_agg, num_units_state=p.num_units_state,
+            num_units_readout=p.num_units_readout,
+            layer_type_conv=p.layer_type_conv,
+            var_mcs_masking=p.mcs_var_mcs_masking,
+            initial_chest=initial_chest, mask_pilots=p.mask_pilots,
+            nrx_dtype=p.nrx_dtype)
+        rg = p.transmitters[0].resource_grid
+        self._num_res = rg.num_resource_elements
+        self._num_data = rg.num_data_symbols
+        self._num_pilots = rg.num_pilot_symbols
+        self._num_slots = rg.num_slots_per_frame
+
+    # ------------------------------------------------------------------
+    def init_params(self, key) -> dict:
+        params = self.receiver.init_params(key)
+        if self.p.custom_constellation:
+            params["constellation"] = [
+                tx.constellation.init_params() for tx in self.transmitters]
+        return params
+
+    def _constellation_points(self, params, mcs_idx):
+        if self.p.custom_constellation:
+            return Constellation.points(params["constellation"][mcs_idx],
+                                        center=True)
+        return None
+
+    def _noise_variance(self, ebno_db):
+        p = self.p
+        tx0 = self.transmitters[0]
+        if p.ebno:
+            if p.mask_pilots:
+                # empty pilot REs are not transmitted -> rate shift
+                # (reference e2e_model copy.py:500-510)
+                ebno_db = ebno_db - 10.0 * jnp.log10(
+                    1.0 - self._num_pilots / self._num_res)
+            return ebnodb2no(ebno_db, tx0.num_bits_per_symbol,
+                             tx0.target_coderate, self._num_res,
+                             self._num_data)
+        return 10.0 ** (-jnp.asarray(ebno_db, jnp.float32) / 10.0)
+
+    def _channel(self, key, batch_size, x, no):
+        """Returns (y [b,ant,sym,sc], h [b,ant,T,ports,sym,sc])."""
+        p = self.p
+        rg = self.transmitters[0].resource_grid
+        nsym, nsc = rg.num_ofdm_symbols, rg.num_subcarriers
+        kc, kn = jax.random.split(key)
+        if p.channel_type_name == "AWGN":
+            h = jnp.ones((batch_size, p.num_rx_antennas, p.max_num_tx,
+                          p.num_antenna_ports, nsym, nsc), jnp.complex64) \
+                / np.sqrt(p.num_antenna_ports)
+        elif p.channel_type_name.startswith("DoubleTDL"):
+            assert p.max_num_tx == 2, "DoubleTDL is a 2-UE channel"
+            h = p.channel_model(kc, batch_size, nsym, nsc,
+                                p.carrier.subcarrier_spacing)
+        elif p.channel_type_name in ("TDL-B100", "TDL-C300"):
+            # single-link model: independent draw per UE
+            keys = jax.random.split(kc, p.max_num_tx)
+            hs = [p.channel_model(k, batch_size, nsym, nsc,
+                                  p.carrier.subcarrier_spacing)
+                  for k in keys]
+            h = jnp.stack(hs, axis=2)
+        else:  # UMi/UMa/Dataset models implement the common interface
+            h = p.channel_model(kc, batch_size, p.max_num_tx, nsym, nsc,
+                                p.carrier.subcarrier_spacing)
+        y = apply_ofdm_channel(kn, x, h, no)
+        return y, h
+
+    # ------------------------------------------------------------------
+    def __call__(self, params, key, batch_size: int, ebno_db,
+                 num_tx=None, active_dmrs=None, mcs_arr_eval_idx=0,
+                 mcs_ue_mask=None, apply_multiloss: bool = False,
+                 num_it: int | None = None):
+        """Run the end-to-end system.
+
+        Training: returns (loss_data, loss_chest).
+        Eval: returns (b, b_hat, tb_crc_status) for the first evaluated
+        MCS, each masked to active ports.
+        """
+        p = self.p
+        keys = jax.random.split(key, 8)
+        if num_tx is None:
+            num_tx = p.max_num_tx
+        if active_dmrs is None:
+            if self.training:
+                active_dmrs = sample_active_dmrs(keys[0], batch_size,
+                                                 num_tx, p.max_num_tx)
+            else:
+                active_dmrs = jnp.ones((batch_size, p.max_num_tx))
+
+        if mcs_ue_mask is None:
+            assert isinstance(mcs_arr_eval_idx, int)
+            mcs_ue_mask = jnp.tile(
+                jax.nn.one_hot(mcs_arr_eval_idx, self.num_mcs)[None, None],
+                (batch_size, p.max_num_tx, 1))
+            mcs_arr_eval = [mcs_arr_eval_idx]
+        else:
+            mcs_arr_eval = list(range(self.num_mcs)) \
+                if not isinstance(mcs_arr_eval_idx, (list, tuple)) \
+                else list(mcs_arr_eval_idx)
+
+        # --- transmitters: superpose per-MCS signals -------------------
+        bits = []
+        for i, idx in enumerate(mcs_arr_eval):
+            bits.append(binary_source(
+                jax.random.fold_in(keys[1], i),
+                (batch_size, p.max_num_tx,
+                 self.transmitters[idx].tb_size)))
+
+        # random pilot slot during training (reference
+        # e2e_model.py:211-217); configured slot otherwise
+        if self.training:
+            slot_idx = jax.random.randint(keys[2], (), 0, self._num_slots)
+        else:
+            slot_idx = p.carrier.slot_number
+
+        x = None
+        for i, idx in enumerate(mcs_arr_eval):
+            pts = self._constellation_points(params, idx)
+            x_i = self.transmitters[idx](bits[i], slot_idx=slot_idx,
+                                         constellation_points=pts)
+            m = mcs_ue_mask[:, :, idx].astype(jnp.complex64)
+            x_i = x_i * m[:, :, None, None, None]
+            x = x_i if x is None else x + x_i
+
+        # mask inactive DMRS ports (zero energy)
+        x = x * active_dmrs.astype(jnp.complex64)[:, :, None, None, None]
+
+        # --- impairments + channel --------------------------------------
+        if p.frequency_offset is not None:
+            x = p.frequency_offset(keys[3], x)
+        no = self._noise_variance(ebno_db)
+        y, h = self._channel(keys[4], batch_size, x, no)
+        if self.mesh is not None:
+            from ..dist.mesh import constrain
+            y = constrain(y, self.mesh, batch_axis=0, sc_axis=-1)
+            h = constrain(h, self.mesh, batch_axis=0, sc_axis=-1)
+
+        # --- receiver ----------------------------------------------------
+        if self.training:
+            labels = [
+                tb_encode_batch(self.transmitters[idx], bits[i])
+                for i, idx in enumerate(mcs_arr_eval)]
+            return self.receiver.training_loss(
+                params, y, active_dmrs, labels, h, mcs_ue_mask,
+                mcs_arr_eval=mcs_arr_eval, apply_multiloss=apply_multiloss,
+                num_it=num_it)
+
+        b_hat, h_ref, h_init, crc = self.receiver.apply(
+            params, y, active_dmrs, mcs_arr_eval=tuple(mcs_arr_eval),
+            mcs_ue_mask=mcs_ue_mask, num_it=num_it)
+        return bits[0], b_hat, crc
+
+
+def tb_encode_batch(transmitter, bits):
+    """Per-UE TB encode (labels for training): [b, T, A] -> [b, T, G]."""
+    outs = []
+    for ue, cfg in enumerate(transmitter.configs):
+        outs.append(tb_encode(cfg.tb, bits[:, ue]))
+    return jnp.stack(outs, axis=1)

@@ -1,0 +1,96 @@
+"""Monte-Carlo BER/BLER simulation driver with early stopping.
+
+TPU-native replacement for Sionna's `sim_ber` as used by the reference
+(`scripts/evaluate.py:193-202`): a jitted per-SNR-point evaluation step
+returning integer error counters, an outer Python loop accumulating
+Monte-Carlo iterations with early stopping on a target number of block
+errors or a BLER floor, and incremental result persistence keyed
+`(system_name, num_tx, mcs_idx)` like the reference's results pickles.
+
+Multi-device: the eval step can be wrapped in a data-parallel pjit mesh;
+counters are summed on host (the Monte-Carlo axis is embarrassingly
+parallel, SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_eval_step(model, params_holder, mcs_arr_eval_idx: int = 0,
+                   num_it: int | None = None):
+    """Jitted (params, key, ebno_db) -> integer error counters."""
+
+    def step(params, key, batch_size, ebno_db):
+        b, b_hat, crc = model(params, key, batch_size, ebno_db,
+                              mcs_arr_eval_idx=mcs_arr_eval_idx,
+                              num_it=num_it)
+        errs = jnp.sum(jnp.abs(b - b_hat), axis=-1)  # [batch, T]
+        bit_errors = jnp.sum(errs)
+        block_errors = jnp.sum((errs > 0).astype(jnp.int32))
+        num_bits = b.shape[0] * b.shape[1] * b.shape[2]
+        num_blocks = b.shape[0] * b.shape[1]
+        return (bit_errors.astype(jnp.int64), jnp.int64(num_bits),
+                block_errors.astype(jnp.int64), jnp.int64(num_blocks))
+
+    return jax.jit(step, static_argnames=("batch_size",))
+
+
+def sim_ber(model, params, ebno_dbs, batch_size: int,
+            max_mc_iter: int = 100, num_target_block_errors: int = 200,
+            target_bler: float | None = None,
+            mcs_arr_eval_idx: int = 0, num_it: int | None = None,
+            seed: int = 0, verbose: bool = True):
+    """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs.
+
+    Early stop per SNR point once `num_target_block_errors` block errors
+    are collected; the whole sweep stops early once the measured BLER
+    drops below `target_bler` (reference evaluate.py early-stop args).
+    """
+    step = make_eval_step(model, None, mcs_arr_eval_idx, num_it)
+    key = jax.random.PRNGKey(seed)
+    ebno_dbs = np.asarray(ebno_dbs, np.float32)
+    bers = np.full(len(ebno_dbs), np.nan)
+    blers = np.full(len(ebno_dbs), np.nan)
+    for i, ebno in enumerate(ebno_dbs):
+        be = nb = ble = nbl = 0
+        t0 = time.time()
+        for it in range(max_mc_iter):
+            key, sub = jax.random.split(key)
+            r = step(params, sub, batch_size, jnp.float32(ebno))
+            be += int(r[0]); nb += int(r[1])
+            ble += int(r[2]); nbl += int(r[3])
+            if ble >= num_target_block_errors:
+                break
+        bers[i] = be / max(nb, 1)
+        blers[i] = ble / max(nbl, 1)
+        if verbose:
+            print(f"Eb/No {ebno:5.1f} dB | BER {bers[i]:.4e} | "
+                  f"BLER {blers[i]:.4e} | blocks {nbl} | "
+                  f"{time.time()-t0:.1f}s", flush=True)
+        if target_bler is not None and blers[i] < target_bler:
+            break
+    return bers, blers
+
+
+def save_results(path: str, label: str, system_name: str, num_tx: int,
+                 mcs_idx: int, ebno_dbs, bers, blers):
+    """Append-update a results pickle keyed (system, num_tx, mcs_idx)
+    (reference evaluate.py:116-125,203-206 format)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            ebno_arr, ber_d, bler_d = pickle.load(f)
+    else:
+        ebno_arr, ber_d, bler_d = np.asarray(ebno_dbs), {}, {}
+    keyname = (system_name, num_tx, mcs_idx)
+    ber_d[keyname] = np.asarray(bers)
+    bler_d[keyname] = np.asarray(blers)
+    with open(path, "wb") as f:
+        pickle.dump((np.asarray(ebno_dbs), ber_d, bler_d), f)

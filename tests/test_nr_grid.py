@@ -1,0 +1,172 @@
+"""Tests for DMRS generation, PUSCH config/TBS, resource grid, transmitter,
+and LS channel estimation — against closed-form 38.211/38.214 expectations
+(reference parity targets cited per test)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_rx_tpu.phy.nr.dmrs import (DMRSConfig, dmrs_symbol_indices,
+                                       dmrs_grid_for_port, pilot_mask)
+from neural_rx_tpu.phy.nr.pusch import CarrierConfig, PUSCHConfig
+from neural_rx_tpu.phy.nr.transmitter import PUSCHTransmitter
+from neural_rx_tpu.phy.grid import ResourceGrid
+from neural_rx_tpu.phy.chest import LSChannelEstimator
+from neural_rx_tpu.phy.misc import binary_source
+
+
+def make_configs(n_prb=4, mcs=14, num_tx=2, **dmrs_overrides):
+    """The nrx_rt system configuration (reference config/nrx_rt.cfg)."""
+    carrier = CarrierConfig(n_size_grid=n_prb)
+    port_sets = [(0,), (2,)][:num_tx]
+    cfgs = []
+    for i, ports in enumerate(port_sets):
+        dmrs = DMRSConfig(config_type=1, type_a_position=2,
+                          additional_position=1, length=1,
+                          dmrs_port_set=ports, n_scid=1,
+                          num_cdm_groups_without_data=2, n_id=(1, 1),
+                          **dmrs_overrides)
+        cfgs.append(PUSCHConfig(carrier, dmrs, mcs_index=mcs,
+                                num_antenna_ports=2, precoding="codebook",
+                                tpmi=2, n_rnti=1, n_id=1))
+    return cfgs
+
+
+class TestDMRS:
+    def test_symbol_indices_type_a_pos2_add1(self):
+        # nrx_rt: mapping A, l0=2, additional=1, 14 symbols -> l = {2, 11}
+        assert dmrs_symbol_indices("A", 2, 1, 1, (0, 14)) == [2, 11]
+
+    def test_symbol_indices_additional_positions(self):
+        assert dmrs_symbol_indices("A", 2, 0, 1, (0, 14)) == [2]
+        assert dmrs_symbol_indices("A", 2, 2, 1, (0, 14)) == [2, 7, 11]
+        assert dmrs_symbol_indices("A", 2, 3, 1, (0, 14)) == [2, 5, 8, 11]
+
+    def test_grid_comb_structure(self):
+        cfg = DMRSConfig(dmrs_port_set=(0,), n_scid=1,
+                         num_cdm_groups_without_data=2, n_id=(1, 1))
+        g = dmrs_grid_for_port(cfg, 0, 48, (0, 14), 0)
+        # port 0 -> CDM group 0 -> even subcarriers only, symbols 2 & 11
+        nonzero_syms = sorted(set(np.where(np.abs(g) > 0)[0]))
+        assert nonzero_syms == [2, 11]
+        nonzero_sc = np.where(np.abs(g[2]) > 0)[0]
+        assert np.array_equal(nonzero_sc, np.arange(0, 48, 2))
+        # amplitude = beta / sqrt(2) per component * |QPSK| = beta = sqrt(2)
+        assert np.allclose(np.abs(g[2, nonzero_sc]), np.sqrt(2), atol=1e-6)
+
+    def test_port2_on_other_comb(self):
+        cfg = DMRSConfig(dmrs_port_set=(2,), n_scid=1, n_id=(1, 1))
+        g = dmrs_grid_for_port(cfg, 2, 48, (0, 14), 0)
+        nonzero_sc = np.where(np.abs(g[2]) > 0)[0]
+        assert np.array_equal(nonzero_sc, np.arange(1, 48, 2))
+
+    def test_pilot_mask_covers_both_combs(self):
+        cfg = DMRSConfig(num_cdm_groups_without_data=2)
+        m = pilot_mask(cfg, 48, (0, 14))
+        assert m[2].all() and m[11].all()
+        assert m.sum() == 2 * 48
+
+    def test_sequences_differ_across_slots_and_symbols(self):
+        cfg = DMRSConfig(dmrs_port_set=(0,), n_scid=1, n_id=(1, 1))
+        g0 = dmrs_grid_for_port(cfg, 0, 48, (0, 14), 0)
+        g1 = dmrs_grid_for_port(cfg, 0, 48, (0, 14), 1)
+        assert not np.allclose(g0[2], g1[2])
+        assert not np.allclose(g0[2], g0[11])
+
+
+class TestPUSCHConfig:
+    def test_tbs_nrx_rt(self):
+        # 4 PRB, MCS 14 (16QAM, R=553/1024): N_RE = min(156,144)*4 = 576,
+        # Ninfo = 576*4*553/1024 = 1244.25 -> Ninfo' = 16*77 = 1232
+        # -> TBS = 1256 (38.214 Table 5.1.3.2-1)
+        cfg = make_configs()[0]
+        assert cfg.num_data_res == 12 * 48
+        assert cfg.num_coded_bits == 12 * 48 * 4
+        assert cfg.tb_size == 1256
+
+    def test_precoding_tpmi2(self):
+        cfg = make_configs()[0]
+        w = cfg.precoding_matrix()
+        assert np.allclose(w, np.array([[0.5], [0.5]]))
+
+    def test_tbs_132_prb(self):
+        cfg = make_configs(n_prb=132)[0]
+        # scales with PRBs; sanity: effective coderate ~ target 553/1024
+        r = cfg.tb_size / cfg.num_coded_bits
+        assert abs(r - 553 / 1024) < 0.01
+
+
+class TestResourceGrid:
+    def test_data_mask_excludes_dmrs_symbols(self):
+        rg = ResourceGrid(make_configs())
+        assert rg.num_data_symbols == 12 * 48
+        assert not rg.data_mask[2].any() and not rg.data_mask[11].any()
+        assert rg.data_mask[0].all()
+
+    def test_map_demap_roundtrip(self):
+        rg = ResourceGrid(make_configs())
+        x = jnp.arange(rg.num_data_symbols, dtype=jnp.complex64)
+        grid = rg.map_data(x)
+        assert grid.shape == (14, 48)
+        back = rg.demap_data(grid)
+        assert jnp.allclose(back, x)
+
+    def test_pilot_bank_num_slots(self):
+        rg = ResourceGrid(make_configs())
+        assert rg.dmrs_grids.shape == (20, 2, 14, 48)  # 30 kHz -> 20 slots
+
+
+class TestTransmitter:
+    def test_output_shape_and_power(self):
+        tx = PUSCHTransmitter(make_configs())
+        key = jax.random.PRNGKey(0)
+        bits = binary_source(key, (4, 2, tx.tb_size))
+        x = tx(bits)
+        assert x.shape == (4, 2, 2, 14, 48)
+        # precoded with w = [1,1]/2 -> mean per-RE total tx power = 1/2
+        data_syms = [0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 13]  # non-DMRS
+        data_re = np.asarray(x)[:, :, :, data_syms, :]
+        pow_per_ue = (np.abs(data_re) ** 2).sum(axis=2)  # sum over ports
+        assert np.allclose(pow_per_ue.mean(), 0.5, atol=0.02)
+
+    def test_dmrs_embedded(self):
+        cfgs = make_configs()
+        tx = PUSCHTransmitter(cfgs)
+        bits = jnp.zeros((1, 2, tx.tb_size))
+        x = np.asarray(tx(bits))
+        g0 = cfgs[0].dmrs_grid(0)
+        # UE0 port0 symbol 2 = w[0]*dmrs = 0.5*dmrs on even SCs
+        assert np.allclose(x[0, 0, 0, 2, ::2], 0.5 * g0[2, ::2], atol=1e-5)
+
+
+class TestLSEstimator:
+    def test_perfect_estimate_flat_channel(self):
+        cfgs = make_configs()
+        rg = ResourceGrid(cfgs)
+        tx = PUSCHTransmitter(cfgs)
+        est = LSChannelEstimator(rg, "nn")
+        key = jax.random.PRNGKey(1)
+        bits = binary_source(key, (2, 2, tx.tb_size))
+        x = tx(bits)  # [b, tx, ports, 14, sc]
+        # flat channel: h[ant, tx, port] constants
+        h = (jax.random.normal(key, (2, 4, 2, 2))
+             + 1j * jax.random.normal(jax.random.PRNGKey(2), (2, 4, 2, 2))
+             ).astype(jnp.complex64)
+        hf = h[..., None, None] * jnp.ones((14, 48))
+        y = jnp.einsum("batp,btpsc->basc", h, x)
+        h_hat, err_var = est(y, 0.01)
+        assert h_hat.shape == (2, 4, 2, 14, 48)
+        # effective channel = h @ w, w = [1,1]/2
+        h_eff = (hf[:, :, :, 0] + hf[:, :, :, 1]) / 2
+        assert np.allclose(np.asarray(h_hat), np.asarray(h_eff), atol=1e-4)
+
+    def test_err_var_scaling(self):
+        rg = ResourceGrid(make_configs())
+        est = LSChannelEstimator(rg, "nn")
+        y = jnp.ones((1, 4, 14, 48), jnp.complex64)
+        _, ev1 = est(y, 0.1)
+        _, ev2 = est(y, 0.2)
+        assert np.allclose(np.asarray(ev2), 2 * np.asarray(ev1))
+        # |pilot|^2 = 2 (beta^2) -> err_var = no/2
+        assert np.allclose(np.asarray(ev1), 0.05)
