@@ -1,0 +1,84 @@
+"""Statistical tests for the TR 38.901 UMi/UMa channel subset
+(reference parity target: Sionna UMi/UMa as configured in
+utils/parameters.py:291-354 — uplink, no pathloss/shadowing)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neural_rx_tpu.channel.tr38901 import UMiUMaChannel, _los_probability
+
+FC = 2.14e9
+SCS = 30e3
+
+
+def make(scenario="umi", **kw):
+    kw.setdefault("num_rx_ant", 4)
+    kw.setdefault("num_tx_ant", 2)
+    return UMiUMaChannel(scenario, FC, **kw)
+
+
+class TestUMi:
+    def test_shape_and_finite(self):
+        ch = make()
+        h = ch(jax.random.PRNGKey(0), 4, 2, 14, 48, SCS)
+        assert h.shape == (4, 4, 2, 2, 14, 48)
+        assert np.isfinite(np.asarray(h)).all()
+
+    def test_mean_power_order_unity(self):
+        # powers normalized per drop (sum of cluster powers = 1); array
+        # gains vary with element pattern, so only order-of-magnitude
+        ch = make()
+        h = np.asarray(ch(jax.random.PRNGKey(1), 64, 1, 1, 16, SCS))
+        p = (np.abs(h) ** 2).mean()
+        assert 0.1 < p < 3.0, p
+
+    def test_frequency_selectivity(self):
+        ch = make()
+        h = np.asarray(ch(jax.random.PRNGKey(2), 128, 1, 1, 256, SCS))
+        h0 = h[:, 0, 0, 0, 0]
+        c_near = np.mean(h0[:, :-1] * np.conj(h0[:, 1:]))
+        c_far = np.mean(h0[:, :-128] * np.conj(h0[:, 128:]))
+        p = np.mean(np.abs(h0) ** 2)
+        assert abs(c_near) / p > 0.8       # adjacent SCs correlated
+        assert abs(c_far) / p < 0.7        # distant SCs decorrelate
+
+    def test_time_variation_with_speed(self):
+        slow = make(min_speed=0.0, max_speed=0.0)
+        fast = make(min_speed=56.0, max_speed=56.0)
+        key = jax.random.PRNGKey(3)
+        hs = np.asarray(slow(key, 64, 1, 14, 4, SCS))
+        hf = np.asarray(fast(key, 64, 1, 14, 4, SCS))
+        def var_t(h):
+            return np.mean(np.abs(h[..., -1, :] - h[..., 0, :]) ** 2) \
+                / np.mean(np.abs(h) ** 2)
+        assert var_t(hs) < 1e-6          # static users -> static channel
+        assert var_t(hf) > 1e-3          # 56 m/s -> visible evolution
+
+    def test_users_independent(self):
+        ch = make()
+        h = np.asarray(ch(jax.random.PRNGKey(4), 512, 2, 1, 1, SCS))
+        u1, u2 = h[:, 0, 0, 0, 0, 0], h[:, 0, 1, 0, 0, 0]
+        p = np.sqrt(np.mean(np.abs(u1) ** 2) * np.mean(np.abs(u2) ** 2))
+        assert abs(np.mean(u1 * np.conj(u2))) / p < 0.1
+
+    def test_los_probability_curve(self):
+        d = jnp.asarray([1.0, 18.0, 50.0, 200.0])
+        p = np.asarray(_los_probability(d, "umi"))
+        assert p[0] == 1.0
+        assert np.all(np.diff(p) <= 0)  # monotone decreasing
+        assert p[-1] < 0.25
+
+    def test_uma_variant(self):
+        ch = make("uma")
+        h = ch(jax.random.PRNGKey(5), 2, 2, 14, 48, SCS)
+        assert h.shape == (2, 4, 2, 2, 14, 48)
+        assert np.isfinite(np.asarray(h)).all()
+
+    def test_rx_antenna_correlation_structure(self):
+        # dual-pol pairs on the same column should be less correlated
+        # than... at minimum, all antennas carry equal average power
+        ch = make()
+        h = np.asarray(ch(jax.random.PRNGKey(6), 256, 1, 1, 8, SCS))
+        p_ant = (np.abs(h[:, :, 0, 0, 0]) ** 2).mean(axis=(0, 2))
+        assert p_ant.std() / p_ant.mean() < 0.2
