@@ -1,0 +1,223 @@
+"""Classical baseline receivers: LMMSE detection, K-Best detection,
+LS/LMMSE channel estimation variants, perfect CSI.
+
+TPU-native replacement for reference `utils/baseline_rx.py` (Sionna
+PUSCHReceiver assemblies, SURVEY.md §2.3):
+
+- `lmmse_equalize`: per-RE MMSE equalization with unit-power symbol
+  prior; returns Sionna-convention unbiased estimates x_hat = x + e and
+  per-stream effective noise variances (vendored reference
+  siona_tf.py:3893-4114). Per-RE matrices are tiny (ant x streams);
+  batched einsum solves map well onto the MXU.
+- `kbest_detect`: K-Best sphere-ish tree search (QR + per-level expand /
+  top-k prune, K=64 like baseline_rx.py:242-254) with max-log LLRs from
+  the candidate list; static shapes (top_k over a fixed candidate set).
+- `LMMSEChannelInterpolator`: space-freq-time LMMSE interpolation from
+  measured covariance matrices with the reference's PRB-chunked
+  low-complexity variant for large bandwidths (baseline_rx.py:310-486).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..phy.constellation import qam_points, bit_labels
+from ..phy.mapping import demap_maxlog
+
+
+# ---------------------------------------------------------------------------
+# LMMSE detection
+# ---------------------------------------------------------------------------
+
+def lmmse_equalize(y, h, no):
+    """Per-RE LMMSE equalization.
+
+    y: [..., ant]; h: [..., ant, streams]; no: noise variance (scalar or
+    broadcastable to [...]).
+    Returns (x_hat [..., streams], no_eff [..., streams]) with the
+    unbiased convention x_hat = x + e, Var(e) = no_eff.
+    """
+    no = jnp.asarray(no, jnp.float32)
+    hh = jnp.einsum("...as,...at->...st", jnp.conj(h), h)
+    eye = jnp.eye(hh.shape[-1], dtype=hh.dtype)
+    a = hh + no[..., None, None] * eye
+    hy = jnp.einsum("...as,...a->...s", jnp.conj(h), y)
+    x_tilde = jnp.linalg.solve(a, hy[..., None])[..., 0]
+    # bias mu_s = [A^-1 H^H H]_ss
+    ainv_hh = jnp.linalg.solve(a, hh)
+    mu = jnp.real(jnp.diagonal(ainv_hh, axis1=-2, axis2=-1))
+    mu = jnp.clip(mu, 1e-6, 1.0 - 1e-6)
+    x_hat = x_tilde / mu
+    no_eff = (1.0 - mu) / mu
+    return x_hat, no_eff
+
+
+# ---------------------------------------------------------------------------
+# K-Best detection
+# ---------------------------------------------------------------------------
+
+def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
+                 llr_clip: float = 20.0):
+    """K-Best MIMO detection with max-log LLRs from the survivor list.
+
+    y: [..., ant]; h: [..., ant, streams]; returns llr
+    [..., streams, num_bits_per_symbol] in log(p1/p0) convention.
+
+    Follows Sionna's KBestDetector semantics (reference
+    baseline_rx.py:242-254, k=64): QR decomposition, detection from the
+    last stream up, expand every survivor with all constellation points,
+    keep the k best partial Euclidean distances. Bits lacking a
+    counter-hypothesis in the final list get +/- llr_clip.
+    """
+    points = jnp.asarray(qam_points(num_bits_per_symbol))
+    labels = jnp.asarray(bit_labels(num_bits_per_symbol))  # [P, m]
+    n_pts = points.shape[0]
+    n_streams = h.shape[-1]
+
+    q, r = jnp.linalg.qr(h)  # q: [..., ant, S], r: [..., S, S]
+    z = jnp.einsum("...as,...a->...s", jnp.conj(q), y)
+
+    # level 0: last stream
+    s_idx = n_streams - 1
+    ped = jnp.abs(z[..., s_idx:s_idx + 1]
+                  - r[..., s_idx, s_idx][..., None] * points) ** 2
+    # candidate symbol indices per level: [..., cand, level]
+    cand_idx = jnp.broadcast_to(
+        jnp.arange(n_pts), ped.shape)[..., None]  # [..., P, 1]
+    k_lvl = min(k, n_pts)
+    ped, top = jax.lax.top_k(-ped, k_lvl)
+    ped = -ped
+    cand_idx = jnp.take_along_axis(cand_idx, top[..., None], axis=-2)
+
+    for lvl in range(1, n_streams):
+        s = n_streams - 1 - lvl
+        n_cand = cand_idx.shape[-2]
+        # interference from already-detected streams
+        interf = jnp.zeros(ped.shape, jnp.complex64)
+        for j in range(lvl):
+            sj = n_streams - 1 - j
+            interf = interf + (r[..., s, sj][..., None]
+                               * points[cand_idx[..., j]])
+        resid = z[..., s][..., None] - interf  # [..., cand]
+        # expand: [..., cand, P]
+        ped_new = ped[..., None] + jnp.abs(
+            resid[..., None] - r[..., s, s][..., None, None] * points) ** 2
+        ped_flat = ped_new.reshape(ped_new.shape[:-2] + (n_cand * n_pts,))
+        new_sym = jnp.broadcast_to(
+            jnp.arange(n_pts), ped_new.shape).reshape(ped_flat.shape)
+        parent = jnp.broadcast_to(
+            jnp.arange(n_cand)[:, None], ped_new.shape[-2:]
+        ).reshape(-1)
+        parent = jnp.broadcast_to(parent, ped_flat.shape)
+        k_lvl = min(k, ped_flat.shape[-1])
+        negped, top = jax.lax.top_k(-ped_flat, k_lvl)
+        ped = -negped
+        new_sym = jnp.take_along_axis(new_sym, top, axis=-1)
+        parent = jnp.take_along_axis(parent, top, axis=-1)
+        cand_idx = jnp.take_along_axis(
+            cand_idx, parent[..., None], axis=-2)
+        cand_idx = jnp.concatenate([cand_idx, new_sym[..., None]], axis=-1)
+
+    # cand_idx[..., cand, lvl] holds symbol index of stream (S-1-lvl)
+    # max-log LLRs per stream/bit from the survivor list
+    no = jnp.maximum(jnp.asarray(no, jnp.float32), 1e-12)
+    metric = -ped / no[..., None]  # [..., cand] log-likelihood scale
+    llrs = []
+    big = jnp.asarray(1e9, jnp.float32)
+    for st in range(n_streams):
+        lvl = n_streams - 1 - st
+        sym = cand_idx[..., lvl]  # [..., cand]
+        bits = labels[sym]  # [..., cand, m]
+        m1 = jnp.where(bits > 0.5, metric[..., None], -big)
+        m0 = jnp.where(bits < 0.5, metric[..., None], -big)
+        llr = jnp.max(m1, axis=-2) - jnp.max(m0, axis=-2)
+        llrs.append(jnp.clip(llr, -llr_clip, llr_clip))
+    return jnp.stack(llrs, axis=-2)  # [..., streams, m]
+
+
+# ---------------------------------------------------------------------------
+# LMMSE channel interpolation from measured covariances
+# ---------------------------------------------------------------------------
+
+def _lmmse_weights(cov: np.ndarray, obs_idx: np.ndarray,
+                   noise_var: float) -> np.ndarray:
+    """W = R[:, obs] (R[obs, obs] + noise I)^-1 : [N, n_obs]."""
+    r_oo = cov[np.ix_(obs_idx, obs_idx)]
+    r_ao = cov[:, obs_idx]
+    a = r_oo + noise_var * np.eye(len(obs_idx))
+    return r_ao @ np.linalg.inv(a)
+
+
+def _best_chunk_size(n_prb: int, target: int = 20) -> int:
+    """Reference heuristic (baseline_rx.py:114-137): smallest divisor of
+    n_prb that is >= target PRBs (fallback: n_prb)."""
+    for d in range(target, n_prb + 1):
+        if n_prb % d == 0:
+            return d
+    return n_prb
+
+
+class LMMSEChannelInterpolator:
+    """Space-freq-time LMMSE interpolation (order "s-f-t") from measured
+    covariance matrices; PRB-chunked in frequency for large bandwidths
+    (reference LowComplexityPUSCHLMSEEstimator)."""
+
+    def __init__(self, resource_grid, cov_freq: np.ndarray,
+                 cov_time: np.ndarray, cov_space: np.ndarray,
+                 noise_var_est: float = 0.1, lmmse_num_prbs: int = -1):
+        rg = resource_grid
+        self.rg = rg
+        n_sc = rg.num_subcarriers
+        n_prb = n_sc // 12
+        mask = rg.pilot_mask
+        self.dmrs_syms = np.where(mask.any(axis=1))[0]
+
+        if lmmse_num_prbs == -1:
+            chunk_prbs = _best_chunk_size(n_prb) if n_prb > 100 else n_prb
+        else:
+            chunk_prbs = lmmse_num_prbs
+        self.chunk_sc = chunk_prbs * 12
+        self.num_chunks = n_sc // self.chunk_sc
+
+        # per-TX frequency weights (each TX's comb within a chunk)
+        cf = cov_freq[:self.chunk_sc, :self.chunk_sc]
+        slot = rg.configs[0].carrier.slot_number
+        self._wf = {}
+        self._pilot_sc = {}
+        for tx in range(rg.num_tx):
+            nz = np.abs(rg.dmrs_grids[slot, tx, self.dmrs_syms[0]]) > 1e-3
+            self._pilot_sc[tx] = np.where(nz)[0]
+            sc_idx = np.where(nz[:self.chunk_sc])[0]
+            self._wf[tx] = _lmmse_weights(
+                cf, sc_idx, noise_var_est).astype(np.complex64)
+
+        # time weights: 14 x n_dmrs_syms
+        self._wt = _lmmse_weights(cov_time, self.dmrs_syms,
+                                  noise_var_est).astype(np.complex64)
+        # space smoothing: ant x ant
+        n_ant = cov_space.shape[0]
+        a = cov_space + noise_var_est * np.eye(n_ant)
+        self._ws = (cov_space @ np.linalg.inv(a)).astype(np.complex64)
+
+    def __call__(self, h_pilots: dict, err_var: float = 0.0):
+        """h_pilots: per tx -> [b, ant, n_dmrs_syms, n_pilot_sc] LS
+        estimates at nonzero pilot REs. Returns [b, ant, tx, 14, sc]."""
+        rg = self.rg
+        outs = []
+        for tx in range(rg.num_tx):
+            hp = h_pilots[tx]
+            # space smoothing
+            hp = jnp.einsum("ij,bjts->bits", jnp.asarray(self._ws), hp)
+            # frequency LMMSE per chunk
+            b, ant, nt, nps = hp.shape
+            per_chunk = nps // self.num_chunks
+            hp_c = hp.reshape(b, ant, nt, self.num_chunks, per_chunk)
+            wf = jnp.asarray(self._wf[tx])  # [chunk_sc, pilots_in_chunk]
+            hf = jnp.einsum("fp,batcp->batcf", wf, hp_c)
+            hf = hf.reshape(b, ant, nt, -1)  # [b, ant, n_dmrs, sc]
+            # time interpolation
+            ht = jnp.einsum("st,batf->basf", jnp.asarray(self._wt), hf)
+            outs.append(ht)
+        return jnp.stack(outs, axis=2)  # [b, ant, tx, 14, sc]

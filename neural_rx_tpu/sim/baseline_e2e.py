@@ -1,0 +1,142 @@
+"""Baseline end-to-end systems: classical receivers behind the same
+TX/channel as the neural model.
+
+Routes the reference's baseline system names (e2e_model.py:349-390):
+  baseline_lslin_lmmse   LS + linear interp chest, LMMSE detection
+  baseline_lsnn_lmmse    LS + nearest-neighbor chest, LMMSE detection
+  baseline_lmmse_lmmse   LMMSE (cov-based s-f-t) chest, LMMSE detection
+  baseline_lmmse_kbest   LMMSE chest, K-Best detection (K=64)
+  baseline_perf_csi_lmmse / baseline_perf_csi_kbest  genie CSI
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..phy.chest import LSChannelEstimator
+from ..phy.constellation import qam_points
+from ..phy.mapping import demap_maxlog
+from ..phy.nr.tb import tb_decode
+from ..rx.baselines import (lmmse_equalize, kbest_detect,
+                            LMMSEChannelInterpolator)
+from .e2e import E2EModel
+
+
+class BaselineE2EModel(E2EModel):
+    """E2E model with a classical receiver (eval only)."""
+
+    def __init__(self, sys_parameters, system: str,
+                 cov_dir: str = "weights"):
+        super().__init__(sys_parameters, training=False)
+        assert system.startswith("baseline_")
+        parts = system.split("_")
+        # baseline_<chest>_<det>, with perf_csi as two tokens
+        if parts[1] == "perf":
+            self.chest_type = "perf"
+            self.det_type = parts[3]
+        else:
+            self.chest_type = parts[1]
+            self.det_type = parts[2]
+        p = self.p
+        rg = p.transmitters[0].resource_grid
+        self.rg = rg
+        self.w = np.stack([c.precoding_matrix()
+                           for c in p.transmitters[0].configs])
+        if self.chest_type in ("lslin", "lsnn"):
+            self.ls = LSChannelEstimator(
+                rg, "lin" if self.chest_type == "lslin" else "nn")
+        elif self.chest_type == "lmmse":
+            self.ls = LSChannelEstimator(rg, "nn")  # pilot-RE LS source
+            covs = {}
+            for name in ("freq", "time", "space"):
+                path = os.path.join(cov_dir,
+                                    f"{p.label}_{name}_cov_mat.npy")
+                if os.path.exists(path):
+                    covs[name] = np.load(path)
+                else:
+                    covs[name] = None
+            if any(c is None for c in covs.values()):
+                from .covariance import compute_cov_matrices
+                print("covariance matrices missing; estimating via "
+                      "Monte-Carlo (reference regenerates them per eval, "
+                      "evaluate.py:159)")
+                cf, ct, cs = compute_cov_matrices(p)
+                covs = {"freq": cf, "time": ct, "space": cs}
+                os.makedirs(cov_dir, exist_ok=True)
+                for name, c in covs.items():
+                    np.save(os.path.join(
+                        cov_dir, f"{p.label}_{name}_cov_mat.npy"), c)
+            self.interp = LMMSEChannelInterpolator(
+                rg, covs["freq"], covs["time"], covs["space"],
+                lmmse_num_prbs=p.lmmse_num_prbs)
+
+    # -- channel estimation -------------------------------------------
+    def _estimate(self, y, h_true, no):
+        """-> h_hat [b, ant, T, 14, sc] effective per-UE channels."""
+        if self.chest_type == "perf":
+            w = jnp.asarray(self.w[:, :, 0])
+            return jnp.einsum("batpsc,tp->batsc", h_true, w)
+        if self.chest_type in ("lslin", "lsnn"):
+            h_hat, _ = self.ls(y, no)
+            return h_hat
+        # lmmse: LS at nonzero pilot REs -> s-f-t interpolation
+        b, ant = y.shape[:2]
+        y_flat = y.reshape(b, ant, -1)
+        y_p = y_flat[..., self.ls._pilot_flat_ind]
+        h_ls = y_p[:, :, None, :] * jnp.asarray(self.ls._pilot_inv)[None,
+                                                                    None]
+        dmrs_syms = self.interp.dmrs_syms
+        n_ds = len(dmrs_syms)
+        h_pilots = {}
+        mask = self.rg.pilot_mask
+        n_pil_per_sym = int(mask[dmrs_syms[0]].sum())
+        for tx in range(self.rg.num_tx):
+            # reshape flat pilots -> [n_dmrs_syms, pilots_per_sym], then
+            # select this TX's nonzero comb positions
+            hp = h_ls[:, :, tx].reshape(b, ant, n_ds, n_pil_per_sym)
+            sym_sc = np.where(mask[dmrs_syms[0]])[0]
+            sel = np.searchsorted(sym_sc, self.interp._pilot_sc[tx])
+            h_pilots[tx] = hp[..., sel]
+        return self.interp(h_pilots)
+
+    # -- full receiver ---------------------------------------------------
+    def __call__(self, params, key, batch_size: int, ebno_db,
+                 num_tx=None, active_dmrs=None, mcs_arr_eval_idx=0,
+                 mcs_ue_mask=None, apply_multiloss=False, num_it=None):
+        p = self.p
+        keys = jax.random.split(key, 8)
+        from ..phy.misc import binary_source
+        bits = binary_source(
+            keys[1], (batch_size, p.max_num_tx,
+                      self.transmitters[mcs_arr_eval_idx].tb_size))
+        x = self.transmitters[mcs_arr_eval_idx](bits)
+        no = self._noise_variance(ebno_db)
+        y, h = self._channel(keys[4], batch_size, x, no)
+
+        h_hat = self._estimate(y, h, no)  # [b, ant, T, 14, sc]
+        # per-RE MIMO detection: H [b, 14, sc, ant, T]
+        hh = jnp.transpose(h_hat, (0, 3, 4, 1, 2))
+        yy = jnp.transpose(y, (0, 2, 3, 1))  # [b, 14, sc, ant]
+        tx0 = self.transmitters[mcs_arr_eval_idx]
+        m = tx0.num_bits_per_symbol
+        if self.det_type == "kbest":
+            llr = kbest_detect(yy, hh, no, m, k=64)  # [b,14,sc,T,m]
+        else:
+            x_hat, no_eff = lmmse_equalize(yy, hh, no)
+            pts = jnp.asarray(qam_points(m))
+            llr = demap_maxlog(x_hat, pts, no_eff)  # [b,14,sc,T,m]
+        # gather data REs per UE -> [b, T, G] -> TB decode
+        llr = jnp.transpose(llr, (0, 3, 1, 2, 4))  # [b,T,14,sc,m]
+        llr_data = self.rg.demap_data(llr)
+        llr_flat = llr_data.reshape(llr_data.shape[:2] + (-1,))
+        b_hats, crcs = [], []
+        for ue in range(p.max_num_tx):
+            tb_cfg = tx0.configs[ue].tb
+            bh, ok = tb_decode(tb_cfg, llr_flat[:, ue])
+            b_hats.append(bh)
+            crcs.append(ok)
+        return bits, jnp.stack(b_hats, 1), jnp.stack(crcs, 1)
