@@ -1,0 +1,116 @@
+"""Aerial-compatible real-time receiver entry point.
+
+TPU-native equivalent of the reference's `NeuralReceiverONNX` +
+`NRPreprocessing` (`utils/neural_rx.py:1614-1812`): the deployable
+engine covers channel-estimate preprocessing (FOCC removal, PRB-local
+nearest-neighbor interpolation, positional encoding) + the CGNN
+iterations + final LLR readout. TB/LDPC decoding stays outside the
+engine, exactly like the reference's TensorRT scope.
+
+I/O contract (per reference neural_rx.py:1731-1771, Aerial axis order):
+inputs
+  rx_slot_real / rx_slot_imag : [b, num_subcarriers, num_symbols, ant]
+  h_hat_real / h_hat_imag     : [b, num_pilots, num_layers, ant]
+                                 (LS estimates at nonzero pilot REs,
+                                  FOCC not yet removed)
+  dmrs_port_mask              : [b, num_layers] active-port mask
+output
+  llr : [b, num_layers, num_subcarriers, num_symbols, num_bits]
+        SIGN-FLIPPED (llr = -log(p1/p0)), the Aerial convention
+        (reference flips at neural_rx.py:1810).
+
+Instead of TensorRT dynamic-shape profiles, shapes are static per PRB
+bucket; `deploy.aot.compile_buckets` AOT-compiles one executable per
+bucket (reference trtexec min/opt/max profiles, export_onnx.py:196-212).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..rx.cgnn import CGNNConfig, cgnn_apply, pilot_positional_encoding
+
+
+class AerialNRX:
+    """Static-shape Aerial-ABI wrapper around the CGNN for one grid."""
+
+    def __init__(self, resource_grid, cgnn_cfg: CGNNConfig,
+                 num_it: int | None = None, dtype=jnp.bfloat16):
+        rg = resource_grid
+        self.rg = rg
+        self.cfg = cgnn_cfg
+        self.num_it = num_it
+        self.dtype = dtype
+        self.num_layers = rg.num_tx
+
+        slot = rg.configs[0].carrier.slot_number
+        self.pe = pilot_positional_encoding(
+            rg.dmrs_grids[slot], rg.pilot_mask)  # [T, sym, sc, 2]
+
+        # Per-TX nonzero-pilot flat indices & the NN gather map over the
+        # full grid (PRB-local by construction: nearest pilot in the same
+        # comb is always within the PRB for type-1 DMRS).
+        mask = rg.pilot_mask
+        n_sym, n_sc = mask.shape
+        self._n_pilots = []
+        gathers = []
+        focc_pairs = []
+        for tx in range(rg.num_tx):
+            g = rg.dmrs_grids[slot, tx]
+            ip, jp = np.where(np.abs(g) > 1e-3)
+            self._n_pilots.append(len(ip))
+            d = (np.abs(np.arange(n_sym)[:, None, None] - ip[None, None])
+                 + np.abs(np.arange(n_sc)[None, :, None] - jp[None, None]))
+            gathers.append(np.argmin(d, -1).astype(np.int32))
+            # FOCC removal pairs: adjacent pilot REs within a CDM pair
+            # (reference _focc_removal averages over the 2 CDM REs,
+            # neural_rx.py:1620-1629)
+            pair = np.arange(len(ip)) // 2
+            focc_pairs.append(pair.astype(np.int32))
+        self.nn_gather = np.stack(gathers)  # [T, sym, sc]
+        self.focc_pair = np.stack(focc_pairs)  # [T, n_pilots]
+        self.num_pilots = self._n_pilots[0]
+
+    def __call__(self, params, rx_slot_real, rx_slot_imag, h_hat_real,
+                 h_hat_imag, dmrs_port_mask):
+        rg = self.rg
+        b = rx_slot_real.shape[0]
+        t = self.num_layers
+        # Aerial layout [b, sc, sym, ant] -> internal [b, sym, sc, ch]
+        yr = jnp.transpose(rx_slot_real, (0, 2, 1, 3))
+        yi = jnp.transpose(rx_slot_imag, (0, 2, 1, 3))
+        y_in = jnp.concatenate([yr, yi], axis=-1)
+
+        # FOCC removal: average over each CDM pair, then scatter back
+        def focc(h):  # [b, pilots, T, ant]
+            outs = []
+            for tx in range(t):
+                pair = jnp.asarray(self.focc_pair[tx])
+                hp = h[:, :, tx]  # [b, pilots, ant]
+                n_pair = self.num_pilots // 2
+                summed = jnp.zeros((b, n_pair, hp.shape[-1]),
+                                   hp.dtype).at[:, pair].add(hp) / 2.0
+                outs.append(summed[:, pair])
+            return jnp.stack(outs, axis=2)  # [b, pilots, T, ant]
+
+        hr = focc(h_hat_real)
+        hi = focc(h_hat_imag)
+        # NN-interpolate over the grid per TX: [b, T, sym, sc, ant]
+        gi = jnp.asarray(self.nn_gather)  # [T, sym, sc]
+        hr_t = jnp.transpose(hr, (0, 2, 1, 3))  # [b, T, pilots, ant]
+        hi_t = jnp.transpose(hi, (0, 2, 1, 3))
+        tx_idx = jnp.arange(t)[:, None, None]
+        hr_g = hr_t[:, tx_idx, gi]  # [b, T, sym, sc, ant]
+        hi_g = hi_t[:, tx_idx, gi]
+        h_in = jnp.concatenate([hr_g, hi_g], axis=-1)
+
+        llrs, _ = cgnn_apply(
+            params["cgnn"], self.cfg, y_in, jnp.asarray(self.pe), h_in,
+            dmrs_port_mask.astype(jnp.float32),
+            jnp.ones((b, t, self.cfg.num_mcs)), num_it=self.num_it,
+            dtype=self.dtype)
+        llr = llrs[-1][0]  # [b, T, sym, sc, bits]
+        # Aerial order [b, T, sc, sym, bits], sign-flipped
+        return -jnp.transpose(llr, (0, 1, 3, 2, 4))
