@@ -180,7 +180,9 @@ class UMiUMaChannel:
         ds = sel(lsp_l[0], lsp_n[0])
         asa = sel(lsp_l[1], lsp_n[1])
         asd = sel(lsp_l[2], lsp_n[2])
-        k_db = jnp.where(is_los, lsp_l[3], -jnp.inf)  # K only for LOS
+        # K only for LOS; -100 dB (linear ~0) keeps all lanes finite —
+        # an actual -inf here propagates NaN through where() on TPU
+        k_db = jnp.where(is_los, lsp_l[3], -100.0)
         k_lin = jnp.where(is_los, 10 ** (k_db / 10), 0.0)
         pl, pn = self.params["los"], self.params["nlos"]
         r_tau = sel(jnp.full(shape, pl["r_tau"]),
@@ -231,9 +233,10 @@ class UMiUMaChannel:
 
         def cluster_angles(center, spread_deg, key1, key2):
             pmax = jnp.max(p_cl, -1, keepdims=True)
+            neg_log = jnp.maximum(
+                -jnp.log(p_cl / jnp.maximum(pmax, 1e-12) + 1e-12), 0.0)
             phi_p = 2 * (spread_deg[..., None] / 1.4) \
-                * jnp.sqrt(-jnp.log(p_cl / jnp.maximum(pmax, 1e-12) + 1e-12)) \
-                / jnp.maximum(c_phi[..., None], 1e-6)
+                * jnp.sqrt(neg_log) / jnp.maximum(c_phi[..., None], 1e-6)
             xn = jax.random.choice(key1, jnp.asarray([-1.0, 1.0]),
                                    shape + (NC,))
             yn = (spread_deg[..., None] / 7.0) \
