@@ -30,7 +30,8 @@ class LSChannelEstimator:
     """
 
     def __init__(self, resource_grid, interpolation_type: str = "nn",
-                 slot_number: int | None = None):
+                 slot_number: int | None = None,
+                 focc_removal: bool = True):
         rg = resource_grid
         self.rg = rg
         self.interpolation_type = interpolation_type
@@ -65,6 +66,26 @@ class LSChannelEstimator:
             np.abs(p) > 0, 1.0 / np.maximum(np.abs(p) ** 2, 1e-12), 0.0
         ).astype(np.float32)
 
+        # FOCC despreading partner map: for DMRS with frequency-domain
+        # OCC (config type 1: k' in {0,1} of the same group n; type 2:
+        # the 2-SC cluster), average each pilot pair — Sionna's
+        # PUSCHLSChannelEstimator despreads the same way (and the
+        # reference's ONNX NRPreprocessing replicates it as
+        # `_focc_removal`, neural_rx.py:1620-1629). Valid when at most
+        # one port per CDM group is active (all reference configs).
+        self.focc_removal = focc_removal
+        if focc_removal:
+            partner = np.zeros((rg.num_tx, self.pilots.shape[-1]),
+                               np.int32)
+            for tx in range(rg.num_tx):
+                nz = np.where(np.abs(self.pilots[tx]) > 0)[0]
+                part = np.arange(self.pilots.shape[-1], dtype=np.int32)
+                # consecutive nonzero entries of this TX form OCC pairs
+                part[nz[0::2]] = nz[1::2]
+                part[nz[1::2]] = nz[0::2]
+                partner[tx] = part
+            self._focc_partner = partner
+
     def __call__(self, y: jnp.ndarray, no) -> tuple[jnp.ndarray, jnp.ndarray]:
         """y: [batch, num_rx_ant, 14, sc] -> (h_hat, err_var).
 
@@ -81,6 +102,11 @@ class LSChannelEstimator:
         h_ls = y_p[:, :, None, :] * jnp.asarray(self._pilot_inv)[None, None]
         ev = jnp.asarray(no, jnp.float32) * jnp.ones((b, n_ant, 1, 1))
         ev = ev * jnp.asarray(self._pilot_pow_inv)[None, None]
+        if self.focc_removal:
+            part = jnp.asarray(self._focc_partner)  # [tx, n_pilots]
+            h_part = h_ls[:, :, jnp.arange(rg.num_tx)[:, None], part]
+            h_ls = 0.5 * (h_ls + h_part)
+            ev = 0.5 * ev  # averaging halves the estimation noise
 
         if self.interpolation_type == "nn":
             gi = jnp.asarray(self._gather_ind)  # [tx, 14, sc]

@@ -1,0 +1,126 @@
+"""Long-running nrx_rt training segment (TPU, resumable).
+
+Runs the config's training schedule with wall-clock-bounded segments:
+resumes from the latest checkpoint, trains until --seconds elapse, then
+checkpoints and exits cleanly (the axon TPU tunnel is single-client, so
+training runs in segments between evaluation windows).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="nrx_rt")
+    ap.add_argument("--seconds", type=float, default=3600)
+    ap.add_argument("--weights-dir", default="weights")
+    ap.add_argument("--log-dir", default="logs")
+    args = ap.parse_args()
+
+    import jax
+    import optax
+    from neural_rx_tpu.sim.config import Parameters
+    from neural_rx_tpu.sim.e2e import E2EModel
+    from neural_rx_tpu.sim.training import (make_chunk_step,
+                                            save_checkpoint,
+                                            load_checkpoint, save_weights)
+    import numpy as np
+    import json
+
+    p = Parameters(args.config, system="nrx", training=True)
+    model = E2EModel(p, training=True)
+    params = model.init_params(jax.random.PRNGKey(42))
+
+    sched = p.training_schedule
+    ckpt_path = os.path.join(args.weights_dir, f"{p.label}_ckpt.pkl")
+
+    # figure out phase boundaries
+    iters_per_phase = [int(x) for x in sched["num_iter"]]
+
+    lr0 = float(sched["learning_rate"][0])
+    optimizer = optax.adam(lr0)
+    opt_state = optimizer.init(params)
+    step0 = 0
+    if os.path.exists(ckpt_path):
+        params, opt_state, step0 = load_checkpoint(ckpt_path)
+        print(f"resumed from step {step0}", flush=True)
+
+    # find current phase
+    acc = 0
+    phase = 0
+    for i, n in enumerate(iters_per_phase):
+        if step0 < acc + n:
+            phase = i
+            break
+        acc += n
+    else:
+        print("schedule complete")
+        return
+
+    log_path = os.path.join(args.log_dir, f"{p.label}.jsonl")
+    os.makedirs(args.log_dir, exist_ok=True)
+    log_f = open(log_path, "a")
+
+    t_end = time.time() + args.seconds
+    total = step0
+    while time.time() < t_end:
+        # phase bookkeeping
+        acc = 0
+        phase = None
+        for i, n in enumerate(iters_per_phase):
+            if total < acc + n:
+                phase = i
+                break
+            acc += n
+        if phase is None:
+            print("schedule complete", flush=True)
+            break
+        lr = float(sched["learning_rate"][phase])
+        if lr != lr0:
+            lr0 = lr
+            optimizer = optax.adam(lr)
+            opt_state = optimizer.init(params)
+        step_fn = make_chunk_step(
+            model, p, optimizer, list(range(len(p.mcs_index))),
+            int(sched["batch_size"][phase]),
+            bool(sched["double_readout"][phase]),
+            float(sched["weighting_double_readout"][phase]),
+            bool(sched["apply_multiloss"][phase]),
+            bool(sched["train_tx"][phase]), chunk=100)
+        step_fn.set_snr_range(
+            np.asarray(sched["min_training_snr_db"][phase], np.float32),
+            np.asarray(sched["max_training_snr_db"][phase], np.float32))
+
+        key = jax.random.PRNGKey(1000 + total)
+        phase_end = acc + iters_per_phase[phase]
+        while total < phase_end and time.time() < t_end:
+            key, sub = jax.random.split(key)
+            t0 = time.time()
+            params, opt_state, (ld, lc, loss) = step_fn(params,
+                                                        opt_state, sub)
+            total += 100
+            rec = {"phase": phase, "iter": total,
+                   "loss_data": float(ld), "loss_chest": float(lc),
+                   "loss": float(loss),
+                   "iters_per_s": 100 / (time.time() - t0)}
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+            if total % 5000 == 0:
+                save_checkpoint(ckpt_path, params, opt_state, total)
+                print(f"iter {total} loss {rec['loss']:.4f} "
+                      f"({rec['iters_per_s']:.1f} it/s)", flush=True)
+
+    save_checkpoint(ckpt_path, params, opt_state, total)
+    save_weights(os.path.join(args.weights_dir,
+                              f"{p.label}_weights.pkl"), params)
+    print(f"segment done at iter {total}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
