@@ -86,9 +86,14 @@ class TestPUSCHConfig:
         assert cfg.tb_size == 1256
 
     def test_precoding_tpmi2(self):
+        # codebook phases from Table 6.3.1.5-1, renormalized to unit
+        # column norm (reference-curve calibration; see
+        # PUSCHConfig.precoding_matrix docstring)
         cfg = make_configs()[0]
         w = cfg.precoding_matrix()
-        assert np.allclose(w, np.array([[0.5], [0.5]]))
+        s = 1 / np.sqrt(2)
+        assert np.allclose(w, np.array([[s], [s]]))
+        assert np.isclose(np.linalg.norm(w), 1.0)
 
     def test_tbs_132_prb(self):
         cfg = make_configs(n_prb=132)[0]
@@ -124,11 +129,11 @@ class TestTransmitter:
         bits = binary_source(key, (4, 2, tx.tb_size))
         x = tx(bits)
         assert x.shape == (4, 2, 2, 14, 48)
-        # precoded with w = [1,1]/2 -> mean per-RE total tx power = 1/2
+        # unit-norm precoding -> mean per-RE total tx power = 1
         data_syms = [0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 12, 13]  # non-DMRS
         data_re = np.asarray(x)[:, :, :, data_syms, :]
         pow_per_ue = (np.abs(data_re) ** 2).sum(axis=2)  # sum over ports
-        assert np.allclose(pow_per_ue.mean(), 0.5, atol=0.02)
+        assert np.allclose(pow_per_ue.mean(), 1.0, atol=0.04)
 
     def test_dmrs_embedded(self):
         cfgs = make_configs()
@@ -136,8 +141,9 @@ class TestTransmitter:
         bits = jnp.zeros((1, 2, tx.tb_size))
         x = np.asarray(tx(bits))
         g0 = cfgs[0].dmrs_grid(0)
-        # UE0 port0 symbol 2 = w[0]*dmrs = 0.5*dmrs on even SCs
-        assert np.allclose(x[0, 0, 0, 2, ::2], 0.5 * g0[2, ::2], atol=1e-5)
+        # UE0 port0 symbol 2 = w[0]*dmrs = dmrs/sqrt(2) on even SCs
+        assert np.allclose(x[0, 0, 0, 2, ::2], g0[2, ::2] / np.sqrt(2),
+                           atol=1e-5)
 
 
 class TestLSEstimator:
@@ -157,8 +163,8 @@ class TestLSEstimator:
         y = jnp.einsum("batp,btpsc->basc", h, x)
         h_hat, err_var = est(y, 0.01)
         assert h_hat.shape == (2, 4, 2, 14, 48)
-        # effective channel = h @ w, w = [1,1]/2
-        h_eff = (hf[:, :, :, 0] + hf[:, :, :, 1]) / 2
+        # effective channel = h @ w, w = [1,1]/sqrt(2)
+        h_eff = (hf[:, :, :, 0] + hf[:, :, :, 1]) / np.sqrt(2)
         assert np.allclose(np.asarray(h_hat), np.asarray(h_eff), atol=1e-4)
 
     def test_err_var_scaling(self):
@@ -168,5 +174,6 @@ class TestLSEstimator:
         _, ev1 = est(y, 0.1)
         _, ev2 = est(y, 0.2)
         assert np.allclose(np.asarray(ev2), 2 * np.asarray(ev1))
-        # |pilot|^2 = 2 (beta^2) -> err_var = no/2
-        assert np.allclose(np.asarray(ev1), 0.05)
+        # |pilot|^2 = 2 (beta^2) -> no/2, halved again by FOCC
+        # pair despreading -> err_var = no/4
+        assert np.allclose(np.asarray(ev1), 0.025)
