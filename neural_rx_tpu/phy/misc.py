@@ -36,3 +36,15 @@ def binary_source(key: jax.Array, shape) -> jnp.ndarray:
     """I.i.d. uniform bits in {0., 1.} (reference BinarySource,
     siona_tf.py:1311)."""
     return jax.random.bernoulli(key, 0.5, shape).astype(jnp.float32)
+
+
+def zf_precoder(h: jnp.ndarray) -> jnp.ndarray:
+    """Zero-forcing precoding matrices with per-column normalization
+    (reference ZFPrecoder, siona_tf.py:2952): h [..., rx, tx] ->
+    W = h^H (h h^H)^{-1}, columns scaled to unit norm."""
+    hh = jnp.einsum("...rt,...st->...rs", h, jnp.conj(h))  # H H^H
+    w = jnp.einsum("...tr,...rs->...ts",
+                   jnp.conj(jnp.swapaxes(h, -1, -2)),
+                   jnp.linalg.inv(hh))  # H^H (H H^H)^-1: [..., tx, rx]
+    norm = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2, axis=-2, keepdims=True))
+    return w / jnp.maximum(norm, 1e-12)

@@ -75,6 +75,36 @@ def plot_results(results_path: str, out_path: str, metric: str = "bler",
     plt.close(fig)
 
 
+def plot_goodput(results_path: str, out_path: str, tb_size: int,
+                 num_res: int, num_pilots: int = 0,
+                 pilotless_systems=(), title: str | None = None):
+    """Goodput-vs-SNR plot (reference plot_gp, utils.py:652-764):
+    systems listed in `pilotless_systems` get the pilot overhead removed
+    from their RE budget (e2e pilotless comparison)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    ebno, _, blers = load_results(results_path)
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for key, vals in sorted(blers.items()):
+        sys_name, num_tx, mcs = key
+        incl = sys_name not in pilotless_systems
+        gp = calculate_goodput(np.asarray(vals).ravel(), tb_size,
+                               num_res, num_pilots, include_pilots=incl)
+        e = np.asarray(ebno).ravel()[: len(gp)]
+        ax.plot(e, gp, marker="o",
+                label=f"{sys_name} {num_tx}UE mcs{mcs}")
+    ax.set_xlabel("Eb/No [dB]")
+    ax.set_ylabel("Goodput [bit/RE]")
+    ax.grid(True, alpha=0.4)
+    ax.legend(fontsize=8)
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def export_constellation(points, out_path: str):
     """Trainable constellation -> CSV of (re, im) rows
     (reference export_constellation, utils.py:767-817)."""

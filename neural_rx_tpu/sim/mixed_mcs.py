@@ -1,0 +1,72 @@
+"""Mixed-MCS evaluation model (reference E2E_Model_Mixed_MCS,
+utils/e2e_model.py:656-839 commented TF original).
+
+Evaluates scenarios where different UEs run different MCS
+simultaneously: a per-UE one-hot `mcs_ue_mask` schedules the MCS mix,
+the receiver processes all MCSs, and bits / estimates / CRC status are
+returned for ONE selected UE (scheduled with mcs_arr_eval_idx[0]).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .e2e import E2EModel
+from ..phy.misc import binary_source
+
+
+class MixedMCSE2EModel(E2EModel):
+    """E2E eval model returning a single UE's bits in a mixed-MCS mix."""
+
+    def __init__(self, sys_parameters, mcs_arr_eval_idx, ue_return: int = 0,
+                 mcs_ue_mask=None):
+        super().__init__(sys_parameters, training=False)
+        assert isinstance(mcs_arr_eval_idx, (list, tuple)), \
+            "mixed-MCS needs the full MCS evaluation order as a list"
+        assert len(mcs_arr_eval_idx) == self.num_mcs
+        self.mcs_arr_eval = list(mcs_arr_eval_idx)
+        self.ue_return = ue_return
+        self._fixed_mask = mcs_ue_mask
+
+    def __call__(self, params, key, batch_size: int, ebno_db,
+                 num_tx=None, active_dmrs=None, mcs_arr_eval_idx=None,
+                 mcs_ue_mask=None, apply_multiloss=False, num_it=None):
+        p = self.p
+        if mcs_ue_mask is None:
+            mcs_ue_mask = self._fixed_mask
+        if mcs_ue_mask is None:
+            # default: UE i scheduled with mcs_arr_eval[i % num_mcs]
+            sched = [self.mcs_arr_eval[i % self.num_mcs]
+                     for i in range(p.max_num_tx)]
+            mcs_ue_mask = jnp.tile(
+                jax.nn.one_hot(jnp.asarray(sched), self.num_mcs)[None],
+                (batch_size, 1, 1))
+
+        keys = jax.random.split(key, 8)
+        bits = []
+        for i, idx in enumerate(self.mcs_arr_eval):
+            bits.append(binary_source(
+                jax.random.fold_in(keys[1], i),
+                (batch_size, p.max_num_tx, self.transmitters[idx].tb_size)))
+
+        x = None
+        for i, idx in enumerate(self.mcs_arr_eval):
+            x_i = self.transmitters[idx](bits[i])
+            m = mcs_ue_mask[:, :, idx].astype(jnp.complex64)
+            x_i = x_i * m[:, :, None, None, None]
+            x = x_i if x is None else x + x_i
+        if active_dmrs is None:
+            active_dmrs = jnp.ones((batch_size, p.max_num_tx))
+        x = x * active_dmrs.astype(jnp.complex64)[:, :, None, None, None]
+
+        if p.frequency_offset is not None:
+            x = p.frequency_offset(keys[3], x)
+        no = self._noise_variance(ebno_db)
+        y, h = self._channel(keys[4], batch_size, x, no)
+
+        b_hat, _, _, crc = self.receiver.apply(
+            params, y, active_dmrs, mcs_arr_eval=tuple(self.mcs_arr_eval),
+            mcs_ue_mask=mcs_ue_mask, num_it=num_it)
+        ue = self.ue_return
+        return (bits[0][:, ue], b_hat[:, ue], crc[:, ue])

@@ -46,14 +46,26 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             max_mc_iter: int = 100, num_target_block_errors: int = 200,
             target_bler: float | None = None,
             mcs_arr_eval_idx: int = 0, num_it: int | None = None,
-            seed: int = 0, verbose: bool = True):
+            seed: int = 0, verbose: bool = True, mesh=None):
     """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs.
 
     Early stop per SNR point once `num_target_block_errors` block errors
     are collected; the whole sweep stops early once the measured BLER
     drops below `target_bler` (reference evaluate.py early-stop args).
+
+    mesh: optional ("data","grid") jax mesh — the Monte-Carlo batch axis
+    shards over "data" (the reference's sim_ber distribute="all" role,
+    SURVEY.md §2.11); error counters reduce to host scalars.
     """
+    if mesh is not None:
+        model.mesh = mesh
     step = make_eval_step(model, None, mcs_arr_eval_idx, num_it)
+    if mesh is not None:
+        _inner = step
+
+        def step(params, key, batch_size, ebno):  # noqa: F811
+            with mesh:
+                return _inner(params, key, batch_size, ebno)
     key = jax.random.PRNGKey(seed)
     ebno_dbs = np.asarray(ebno_dbs, np.float32)
     bers = np.full(len(ebno_dbs), np.nan)
