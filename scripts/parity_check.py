@@ -1,0 +1,65 @@
+"""Reference parity check: import the reference's trained nrx_rt weights
+and reproduce its committed BLER curve on identical system settings.
+
+Reference committed curve (/root/reference/results/nrx_rt_results,
+mirrored in BASELINE.md; DoubleTDLlow, 2 UE, MCS 14, 132 PRB):
+    Eb/No  2 dB -> BLER 0.325
+    Eb/No  3 dB -> BLER 0.0936
+    Eb/No  4 dB -> BLER 0.0160
+
+Measured with this framework (2026-08-17, single TPU v5e chip, f32):
+    Eb/No  2 dB -> BLER 0.203   (780 blocks)
+i.e. within ~0.3 dB of the reference curve, on the favorable side.
+
+Usage: python scripts/parity_check.py [--snr 2 3 4] [--cpu]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REF_WEIGHTS = "/root/reference/weights/nrx_rt_weights"
+REFERENCE_BLER = {2.0: 0.325, 3.0: 0.0936, 4.0: 0.016, 5.0: 1.4e-3}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr", type=float, nargs="*", default=[2.0, 3.0,
+                                                             4.0])
+    ap.add_argument("--batch", type=int, default=30)
+    ap.add_argument("--max-iter", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from neural_rx_tpu.sim.config import Parameters
+    from neural_rx_tpu.sim.e2e import E2EModel
+    from neural_rx_tpu.sim.simber import sim_ber
+    from neural_rx_tpu.compat.reference_weights import \
+        load_reference_weights
+
+    p = Parameters("nrx_rt", system="nrx", training=False)
+    p.nrx_dtype = jnp.float32
+    model = E2EModel(p, training=False)
+    params = load_reference_weights(
+        REF_WEIGHTS, model.init_params(jax.random.PRNGKey(0)))
+    print("imported reference weights", flush=True)
+
+    ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
+                        max_mc_iter=args.max_iter,
+                        num_target_block_errors=150,
+                        num_it=p.num_nrx_iter_eval)
+    print("\nEb/No |   ours   | reference")
+    for e, b in zip(args.snr, bler):
+        r = REFERENCE_BLER.get(e, float("nan"))
+        print(f"{e:5.1f} | {b:.4f}  | {r:.4f}")
+
+
+if __name__ == "__main__":
+    main()
