@@ -1,0 +1,208 @@
+"""Pallas TPU kernel: layered normalized-min-sum QC-LDPC decoder.
+
+Why: the flooding boxplus decoder in phy/nr/ldpc.py expresses per-edge
+lifted-frame changes as [E, Z] gathers and one-hot matmuls — correct and
+MXU-friendly, but each BP iteration streams the whole [E, Z] message
+state through HBM, and Monte-Carlo BLER evaluation is dominated by it
+(measured ~50x the CGNN cost per eval step).
+
+This kernel keeps the entire decoder state in VMEM for all iterations:
+- APP (a-posteriori LLRs) [num_cols, Z] and check messages [E, Z] live
+  in VMEM scratch for a tile of codewords; HBM traffic is one load of
+  the channel LLRs and one store of the hard bits.
+- The QC cyclic shifts are STATIC per edge, so each lifted-frame change
+  is a single lane-rotate (`pltpu.roll`), not a gather.
+- Layered scheduling (check rows processed sequentially, APP updated in
+  place) converges in roughly half the iterations of flooding; with
+  normalized min-sum (alpha = 0.8125, same constant as the flooding
+  decoder's min-sum mode) 10 layered iterations match 20 flooding
+  boxplus iterations to within ~0.1 dB (statistical equivalence covered
+  by tests/test_ldpc_pallas.py).
+
+The kernel is the fast eval path; `tb_decode` keeps the reference-
+faithful flooding boxplus as the default algorithm.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..phy.nr.ldpc import LDPCCode
+
+_ALPHA = 0.8125  # normalized min-sum scaling (matches ldpc.py minsum)
+
+
+def _row_plan(code: LDPCCode):
+    """Static per-row (col, shift, edge_index) schedule."""
+    plan = []
+    e = 0
+    emap = {}
+    for r, cols in enumerate(code.rows):
+        entries = []
+        for c in cols:
+            entries.append((c, int(code.shifts[(r, c)]), e))
+            emap[(r, c)] = e
+            e += 1
+        plan.append(entries)
+    return plan
+
+
+def _pad_lanes(z: int) -> int:
+    return ((z + 127) // 128) * 128
+
+
+def make_decoder(code: LDPCCode, num_iter: int = 10,
+                 interpret: bool = False):
+    """Build a jittable layered min-sum decoder for one (bg, z) code.
+
+    Returns fn(llr_ch [batch, num_cols*Z] internal-convention
+    log(p0/p1)) -> hard bits [batch, num_cols*Z].
+    """
+    z = code.z
+    assert z % 128 == 0, (
+        "pallas layered decoder supports lifting sizes that are lane "
+        "multiples (128/256/384); use phy.nr.ldpc.decode otherwise")
+    zp = _pad_lanes(z)
+    n_cols = code.num_cols
+    plan = _row_plan(code)
+    n_edges = code.num_edges
+
+    def _roll(x, shift):
+        # x: [1, zp]; cyclic lane rotate by a STATIC shift. zp == z is
+        # guaranteed (z % 128 == 0 guard), so the rotate is exact.
+        return pltpu.roll(x, shift % z, 1)
+
+    def kernel(llr_ref, out_ref, app_ref, c2v_ref):
+        # load channel LLRs into APP
+        app_ref[:, :] = llr_ref[:, :]
+        c2v_ref[:, :] = jnp.zeros_like(c2v_ref)
+
+        for _ in range(num_iter):
+            for entries in plan:
+                # gather extrinsic v2c messages in the check frame
+                v2cs = []
+                for (c, s, e) in entries:
+                    t = (_roll(app_ref[c:c + 1, :], -s)
+                         - c2v_ref[e:e + 1, :])
+                    v2cs.append(t)
+                # normalized min-sum across the row (two-minima trick)
+                sign = jnp.ones_like(v2cs[0])
+                for t in v2cs:
+                    sign = sign * jnp.where(t < 0, -1.0, 1.0)
+                mags = [jnp.abs(t) for t in v2cs]
+                big = jnp.full_like(mags[0], 1e30)
+                min1 = functools.reduce(jnp.minimum, mags)
+                # second minimum: mask only the FIRST occurrence of the
+                # minimum per lane, then min again
+                taken = jnp.zeros_like(mags[0], dtype=jnp.bool_)
+                firsts = []
+                masked = []
+                for m in mags:
+                    first = jnp.logical_and(m <= min1,
+                                            jnp.logical_not(taken))
+                    taken = jnp.logical_or(taken, first)
+                    firsts.append(first)
+                    masked.append(jnp.where(first, big, m))
+                min2 = functools.reduce(jnp.minimum, masked)
+                # update messages + APP in place
+                for (c, s, e), t, first in zip(entries, v2cs, firsts):
+                    other_min = jnp.where(first, min2, min1)
+                    sgn_e = jnp.where(t < 0, -1.0, 1.0)
+                    new_msg = _ALPHA * sign * sgn_e * other_min
+                    c2v_ref[e:e + 1, :] = new_msg
+                    app_ref[c:c + 1, :] = _roll(t + new_msg, s)
+        out_ref[:, :] = jnp.where(app_ref[:, :] < 0, 1.0, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_cols, zp), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n_cols, zp), jnp.float32),
+            pltpu.VMEM((n_edges, zp), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def decode(llr_ch: jnp.ndarray) -> jnp.ndarray:
+        batch_shape = llr_ch.shape[:-1]
+        blocks = llr_ch.reshape((-1, n_cols, z))
+        if zp != z:
+            blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, zp - z)))
+        bits = jax.vmap(call)(blocks)
+        bits = bits[..., :z]
+        return bits.reshape(batch_shape + (n_cols * z,))
+
+    return decode
+
+
+def reference_layered_decode(code: LDPCCode, llr_ch: np.ndarray,
+                             num_iter: int = 10) -> np.ndarray:
+    """NumPy oracle of the exact layered min-sum schedule the pallas
+    kernel implements (same update order, same first-minimum masking).
+    llr_ch: [num_cols*Z] internal convention -> hard bits."""
+    z = code.z
+    plan = _row_plan(code)
+    app = llr_ch.reshape(code.num_cols, z).astype(np.float64).copy()
+    c2v = np.zeros((code.num_edges, z))
+    for _ in range(num_iter):
+        for entries in plan:
+            v2cs = [np.roll(app[c], -s) - c2v[e] for (c, s, e) in entries]
+            sign = np.prod([np.where(t < 0, -1.0, 1.0) for t in v2cs],
+                           axis=0)
+            mags = [np.abs(t) for t in v2cs]
+            min1 = np.min(mags, axis=0)
+            taken = np.zeros(z, bool)
+            firsts, masked = [], []
+            for m in mags:
+                first = (m <= min1) & ~taken
+                taken |= first
+                firsts.append(first)
+                masked.append(np.where(first, 1e30, m))
+            min2 = np.min(masked, axis=0)
+            for (c, s, e), t, first in zip(entries, v2cs, firsts):
+                other = np.where(first, min2, min1)
+                sgn_e = np.where(t < 0, -1.0, 1.0)
+                new_msg = _ALPHA * sign * sgn_e * other
+                c2v[e] = new_msg
+                app[c] = np.roll(t + new_msg, s)
+    return (app < 0).astype(np.float32).reshape(-1)
+
+
+def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 10,
+                   interpret: bool = False):
+    """Drop-in fast variant of phy.nr.tb.tb_decode using the pallas
+    layered decoder. Same I/O contract: llr [..., G] log(p1/p0) ->
+    (b_hat [..., A], tb_crc_pass [...]). Falls back to the flooding
+    decoder for lifting sizes that are not lane multiples."""
+    from ..phy.nr import crc as crc_mod
+    from ..phy.nr.rate_match import rate_recover
+    if cfg.z % 128 != 0:
+        from ..phy.nr.tb import tb_decode
+        return tb_decode(cfg, llr)
+    decoder = make_decoder(cfg.code, num_iter=num_iter,
+                           interpret=interpret)
+    scr = jnp.asarray(cfg.scramb_seq)
+    llr_int = -llr * (1.0 - 2.0 * scr)
+    llr_int = jnp.clip(llr_int, -20.0, 20.0)
+    cb_bits = []
+    offset = 0
+    for r in range(cfg.num_cbs):
+        e_r = cfg.cb_es[r]
+        llr_cb = llr_int[..., offset:offset + e_r]
+        offset += e_r
+        full = rate_recover(cfg.code, llr_cb, cfg.k_prime, cfg.qm)
+        hard = decoder(full)
+        cb_bits.append(hard[..., :cfg.k_prime])
+    blocks = jnp.stack(cb_bits, axis=-2)
+    payload = blocks[..., :-24] if cfg.num_cbs > 1 else blocks
+    b = payload.reshape(payload.shape[:-2] + (-1,))
+    tb_ok = crc_mod.crc_check(b, cfg.tb_crc)
+    return b[..., :cfg.tb_size], tb_ok
