@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--target-bler", type=float, default=None)
     ap.add_argument("--untrained", action="store_true",
                     help="evaluate with random init (plumbing checks)")
+    ap.add_argument("--fast-ldpc", action="store_true",
+                    help="pallas layered min-sum decoder (TPU fast path)")
     ap.add_argument("--weights-dir", default="weights")
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--cpu", action="store_true")
@@ -80,7 +82,7 @@ def main():
         max_mc_iter=args.max_iter,
         num_target_block_errors=args.target_block_errors,
         target_bler=args.target_bler, mcs_arr_eval_idx=args.mcs_idx,
-        num_it=num_it)
+        num_it=num_it, fast_ldpc=args.fast_ldpc)
 
     save_results(os.path.join(args.results_dir, f"{p.label}_results.pkl"),
                  p.label, sys_name, p.max_num_tx, args.mcs_idx,

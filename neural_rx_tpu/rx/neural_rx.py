@@ -128,11 +128,14 @@ class NeuralPUSCHReceiver:
 
     # -- evaluation ------------------------------------------------------
     def apply(self, params, y, active_tx, mcs_arr_eval=(0,),
-              mcs_ue_mask=None, num_it: int | None = None):
+              mcs_ue_mask=None, num_it: int | None = None,
+              fast_ldpc: bool = False):
         """Eval forward: returns (b_hat, h_hat_refined, h_hat_init, crc).
 
         y: [b, rx_ant, sym, sc] complex; active_tx: [b, max_num_tx].
         b_hat: [b, T, tb_size] for the first evaluated MCS.
+        fast_ldpc: use the pallas layered min-sum decoder (TPU fast
+        path) instead of the reference-faithful flooding boxplus.
         """
         b = y.shape[0]
         if mcs_ue_mask is None:
@@ -149,10 +152,14 @@ class NeuralPUSCHReceiver:
         llr_data = self.rg.demap_data(llr)  # [b, T, n_data, bits]
         llr_flat = llr_data.reshape(llr_data.shape[:2] + (-1,))  # [b,T,G]
         # TB decode per UE (per-UE scrambling), unrolled over max_num_tx
+        if fast_ldpc:
+            from ..kernels.ldpc_pallas import tb_decode_fast as _decode
+        else:
+            _decode = tb_decode
         b_hats, crcs = [], []
         for ue in range(self.max_num_tx):
             tb_cfg = self.transmitters[mcs0].configs[ue].tb
-            bh, ok = tb_decode(tb_cfg, llr_flat[:, ue])
+            bh, ok = _decode(tb_cfg, llr_flat[:, ue])
             b_hats.append(bh)
             crcs.append(ok)
         return (jnp.stack(b_hats, 1), h_hats[-1], h_in,

@@ -122,7 +122,7 @@ class E2EModel:
     def __call__(self, params, key, batch_size: int, ebno_db,
                  num_tx=None, active_dmrs=None, mcs_arr_eval_idx=0,
                  mcs_ue_mask=None, apply_multiloss: bool = False,
-                 num_it: int | None = None):
+                 num_it: int | None = None, fast_ldpc: bool = False):
         """Run the end-to-end system.
 
         Training: returns (loss_data, loss_chest).
@@ -200,7 +200,7 @@ class E2EModel:
 
         b_hat, h_ref, h_init, crc = self.receiver.apply(
             params, y, active_dmrs, mcs_arr_eval=tuple(mcs_arr_eval),
-            mcs_ue_mask=mcs_ue_mask, num_it=num_it)
+            mcs_ue_mask=mcs_ue_mask, num_it=num_it, fast_ldpc=fast_ldpc)
         return bits[0], b_hat, crc
 
 

@@ -24,13 +24,16 @@ import jax.numpy as jnp
 
 
 def make_eval_step(model, params_holder, mcs_arr_eval_idx: int = 0,
-                   num_it: int | None = None):
+                   num_it: int | None = None, fast_ldpc: bool = False):
     """Jitted (params, key, ebno_db) -> integer error counters."""
 
     def step(params, key, batch_size, ebno_db):
+        kwargs = {}
+        if fast_ldpc:
+            kwargs["fast_ldpc"] = True
         b, b_hat, crc = model(params, key, batch_size, ebno_db,
                               mcs_arr_eval_idx=mcs_arr_eval_idx,
-                              num_it=num_it)
+                              num_it=num_it, **kwargs)
         errs = jnp.sum(jnp.abs(b - b_hat), axis=-1)  # [batch, T]
         bit_errors = jnp.sum(errs)
         block_errors = jnp.sum((errs > 0).astype(jnp.int32))
@@ -46,7 +49,8 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             max_mc_iter: int = 100, num_target_block_errors: int = 200,
             target_bler: float | None = None,
             mcs_arr_eval_idx: int = 0, num_it: int | None = None,
-            seed: int = 0, verbose: bool = True, mesh=None):
+            seed: int = 0, verbose: bool = True, mesh=None,
+            fast_ldpc: bool = False):
     """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs.
 
     Early stop per SNR point once `num_target_block_errors` block errors
@@ -59,7 +63,8 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
     """
     if mesh is not None:
         model.mesh = mesh
-    step = make_eval_step(model, None, mcs_arr_eval_idx, num_it)
+    step = make_eval_step(model, None, mcs_arr_eval_idx, num_it,
+                          fast_ldpc=fast_ldpc)
     if mesh is not None:
         _inner = step
 

@@ -129,6 +129,34 @@ def make_chunk_step(model, sys_parameters, optimizer,
     return chunk_step
 
 
+def make_eval_loss_fn(model, sys_parameters, batch_size: int = 32):
+    """Per-MCS eval-loss monitor at the config's eval_ebno_db_arr
+    (reference utils.py:352-356,407-428: logged every
+    num_iter_train_save iterations)."""
+    p = sys_parameters
+    ebnos = [float(e) for e in p.eval_ebno_db_arr]
+
+    @jax.jit
+    def _loss(params, key, ebno, mcs_ue_mask):
+        ld, lc = model(params, key, batch_size,
+                       jnp.full((batch_size,), ebno),
+                       active_dmrs=jnp.ones((batch_size, p.max_num_tx)),
+                       mcs_ue_mask=mcs_ue_mask)
+        return ld
+
+    def eval_losses(params, key):
+        out = {}
+        for idx, ebno in enumerate(ebnos):
+            mm = jnp.tile(jax.nn.one_hot(idx, len(p.mcs_index))[None,
+                                                                None],
+                          (batch_size, p.max_num_tx, 1))
+            out[f"eval_loss_mcs{idx}"] = float(
+                _loss(params, jax.random.fold_in(key, idx),
+                      jnp.float32(ebno), mm))
+        return out
+    return eval_losses
+
+
 def save_checkpoint(path, params, opt_state, step: int):
     leaves, treedef = jax.tree.flatten((params, opt_state))
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
