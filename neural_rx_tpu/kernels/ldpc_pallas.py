@@ -83,7 +83,10 @@ def make_decoder(code: LDPCCode, num_iter: int = 10,
         app_ref[:, :] = llr_ref[:, :]
         c2v_ref[:, :] = jnp.zeros_like(c2v_ref)
 
-        for _ in range(num_iter):
+        # fori_loop keeps the traced graph to ONE iteration (the row
+        # schedule below unrolls ~E lane-rotates; x num_iter would blow
+        # up Mosaic compile time)
+        def one_iteration(_, carry):
             for entries in plan:
                 # gather extrinsic v2c messages in the check frame
                 v2cs = []
@@ -117,6 +120,9 @@ def make_decoder(code: LDPCCode, num_iter: int = 10,
                     new_msg = _ALPHA * sign * sgn_e * other_min
                     c2v_ref[e:e + 1, :] = new_msg
                     app_ref[c:c + 1, :] = _roll(t + new_msg, s)
+            return carry
+
+        jax.lax.fori_loop(0, num_iter, one_iteration, 0)
         out_ref[:, :] = jnp.where(app_ref[:, :] < 0, 1.0, 0.0)
 
     call = pl.pallas_call(
