@@ -18,7 +18,6 @@ time-invariant per record like the reference's per-position CIRs) and
 
 from __future__ import annotations
 
-import os
 
 import numpy as np
 import jax

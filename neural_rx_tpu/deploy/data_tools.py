@@ -18,7 +18,6 @@ import jax.numpy as jnp
 
 from ..phy.misc import binary_source
 from ..phy.nr.tb import tb_decode
-from ..channel.apply import apply_ofdm_channel
 
 
 class AerialDataGenerator:

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 
 from ..phy.constellation import qam_points, bit_labels
-from ..phy.mapping import demap_maxlog
 
 
 # ---------------------------------------------------------------------------

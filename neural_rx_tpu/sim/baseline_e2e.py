@@ -106,7 +106,8 @@ class BaselineE2EModel(E2EModel):
     # -- full receiver ---------------------------------------------------
     def __call__(self, params, key, batch_size: int, ebno_db,
                  num_tx=None, active_dmrs=None, mcs_arr_eval_idx=0,
-                 mcs_ue_mask=None, apply_multiloss=False, num_it=None):
+                 mcs_ue_mask=None, apply_multiloss=False, num_it=None,
+                 fast_ldpc: bool = False):
         p = self.p
         keys = jax.random.split(key, 8)
         from ..phy.misc import binary_source
@@ -133,10 +134,14 @@ class BaselineE2EModel(E2EModel):
         llr = jnp.transpose(llr, (0, 3, 1, 2, 4))  # [b,T,14,sc,m]
         llr_data = self.rg.demap_data(llr)
         llr_flat = llr_data.reshape(llr_data.shape[:2] + (-1,))
+        if fast_ldpc:
+            from ..kernels.ldpc_pallas import tb_decode_fast as _decode
+        else:
+            _decode = tb_decode
         b_hats, crcs = [], []
         for ue in range(p.max_num_tx):
             tb_cfg = tx0.configs[ue].tb
-            bh, ok = tb_decode(tb_cfg, llr_flat[:, ue])
+            bh, ok = _decode(tb_cfg, llr_flat[:, ue])
             b_hats.append(bh)
             crcs.append(ok)
         return bits, jnp.stack(b_hats, 1), jnp.stack(crcs, 1)

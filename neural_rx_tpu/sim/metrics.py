@@ -9,7 +9,6 @@ available; CSV/JSON export works headless.
 from __future__ import annotations
 
 import csv
-import os
 import pickle
 
 import numpy as np

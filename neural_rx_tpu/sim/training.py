@@ -191,7 +191,8 @@ def training_loop(model, sys_parameters, params, label: str,
                   mcs_arr_training_idx=None, seed: int = 42,
                   results_dir: str = "weights", log_dir: str = "logs",
                   chunk: int = 100, max_iters: int | None = None,
-                  eval_fn=None, verbose: bool = True):
+                  eval_fn=None, verbose: bool = True,
+                  weight_saving_schedule=None):
     """Phased training per the config's training_schedule
     (reference utils.py:148-428). Returns trained params.
 
@@ -257,6 +258,14 @@ def training_loop(model, sys_parameters, params, label: str,
                     total_done)
                 if eval_fn is not None:
                     eval_fn(params, total_done)
+            if weight_saving_schedule:
+                # named-iteration snapshots (reference
+                # weight_saving_schedule, utils.py:345-347)
+                for snap in weight_saving_schedule:
+                    if total_done - chunk < snap <= total_done:
+                        save_weights(os.path.join(
+                            results_dir,
+                            f"{label}_weights_iter_{snap}.pkl"), params)
         if max_iters is not None and total_done >= max_iters:
             break
 

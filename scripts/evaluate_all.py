@@ -1,0 +1,104 @@
+"""Full BLER evaluation sweep (reference scripts/evaluate.py): loops
+num_tx x MCS, evaluates the neural receiver and the classical baseline
+systems, appends incrementally to results/{label}_results.pkl.
+
+Usage: python scripts/evaluate_all.py --config nrx_rt
+       [--num-tx 1 2] [--systems nrx baseline_lslin_lmmse ...]
+       [--max-iter 30] [--fast-ldpc] [--cpu]
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+DEFAULT_SYSTEMS = ["nrx", "baseline_lslin_lmmse", "baseline_lsnn_lmmse",
+                   "baseline_lmmse_kbest", "baseline_perf_csi_kbest"]
+SYSTEM_LABELS = {
+    "nrx": "Neural Receiver",
+    "baseline_lslin_lmmse": "Baseline - LS/lin+LMMSE",
+    "baseline_lsnn_lmmse": "Baseline - LS/nn+LMMSE",
+    "baseline_lmmse_lmmse": "Baseline - LMMSE+LMMSE",
+    "baseline_lmmse_kbest": "Baseline - LMMSE+K-Best",
+    "baseline_perf_csi_kbest": "Baseline - Perf. CSI & K-Best",
+    "baseline_perf_csi_lmmse": "Baseline - Perf. CSI & LMMSE",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--num-tx", type=int, nargs="*", default=None)
+    ap.add_argument("--systems", nargs="*", default=DEFAULT_SYSTEMS)
+    ap.add_argument("--mcs-idx", type=int, nargs="*", default=None)
+    ap.add_argument("--max-iter", type=int, default=30)
+    ap.add_argument("--target-block-errors", type=int, default=150)
+    ap.add_argument("--target-bler", type=float, default=1e-4)
+    ap.add_argument("--fast-ldpc", action="store_true")
+    ap.add_argument("--untrained", action="store_true")
+    ap.add_argument("--weights-dir", default="weights")
+    ap.add_argument("--results-dir", default="results")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from neural_rx_tpu.sim.config import Parameters
+    from neural_rx_tpu.sim.e2e import E2EModel
+    from neural_rx_tpu.sim.baseline_e2e import BaselineE2EModel
+    from neural_rx_tpu.sim.simber import sim_ber, save_results
+    from neural_rx_tpu.sim.training import load_weights
+
+    p0 = Parameters(args.config, system="dummy", training=False)
+    num_txs = args.num_tx or list(range(1, len(p0.dmrs_port_sets) + 1))
+    mcs_idxs = args.mcs_idx or list(range(len(p0.mcs_index)))
+    ebno_dbs = np.arange(p0.snr_db_eval_min, p0.snr_db_eval_max,
+                         p0.snr_db_eval_stepsize, dtype=np.float32)
+    res_path = os.path.join(args.results_dir,
+                            f"{p0.label}_results.pkl")
+
+    for num_tx in num_txs:
+        for mcs_idx in mcs_idxs:
+            for system in args.systems:
+                print(f"=== {system} | num_tx={num_tx} | mcs_idx="
+                      f"{mcs_idx}", flush=True)
+                p = Parameters(args.config, system=system,
+                               training=False, num_tx_eval=num_tx)
+                if (p.channel_type_name.startswith("DoubleTDL")
+                        and num_tx != 2):
+                    print("skip: DoubleTDL needs exactly 2 UEs",
+                          flush=True)
+                    continue
+                if system == "nrx":
+                    model = E2EModel(p, training=False)
+                    wpath = os.path.join(args.weights_dir,
+                                         f"{p.label}_weights.pkl")
+                    if args.untrained or not os.path.exists(wpath):
+                        params = model.init_params(jax.random.PRNGKey(0))
+                    else:
+                        params = load_weights(wpath)
+                    num_it = p.num_nrx_iter_eval
+                    batch = p.batch_size_eval
+                else:
+                    model = BaselineE2EModel(p, system)
+                    params = {}
+                    num_it = None
+                    batch = (p.batch_size_eval_small
+                             if "kbest" in system else p.batch_size_eval)
+                ber, bler = sim_ber(
+                    model, params, ebno_dbs, batch_size=batch,
+                    max_mc_iter=args.max_iter,
+                    num_target_block_errors=args.target_block_errors,
+                    target_bler=args.target_bler, mcs_arr_eval_idx=mcs_idx,
+                    num_it=num_it, fast_ldpc=args.fast_ldpc)
+                save_results(res_path, p.label, SYSTEM_LABELS[system],
+                             num_tx, mcs_idx, ebno_dbs, ber, bler)
+                print(f"appended to {res_path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
