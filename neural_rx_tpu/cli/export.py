@@ -62,16 +62,19 @@ def main():
                            num_it=pr.num_nrx_iter_eval)
         sc = rx.rg.num_subcarriers
         t = rx.max_num_tx
+        ant = pr.num_rx_antennas
         rng = np.random.default_rng(0)
         inputs = (
-            jnp.asarray(rng.normal(size=(args.batch, sc, 14, 4)),
+            jnp.asarray(rng.normal(size=(args.batch, sc, 14, ant)),
                         jnp.float32),
-            jnp.asarray(rng.normal(size=(args.batch, sc, 14, 4)),
+            jnp.asarray(rng.normal(size=(args.batch, sc, 14, ant)),
                         jnp.float32),
             jnp.asarray(rng.normal(
-                size=(args.batch, engine.num_pilots, t, 4)), jnp.float32),
+                size=(args.batch, engine.num_pilots, t, ant)),
+                jnp.float32),
             jnp.asarray(rng.normal(
-                size=(args.batch, engine.num_pilots, t, 4)), jnp.float32),
+                size=(args.batch, engine.num_pilots, t, ant)),
+                jnp.float32),
             jnp.ones((args.batch, t), jnp.float32),
         )
         compiled = jax.jit(engine.__call__).lower(params,

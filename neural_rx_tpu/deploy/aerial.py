@@ -37,13 +37,17 @@ class AerialNRX:
     """Static-shape Aerial-ABI wrapper around the CGNN for one grid."""
 
     def __init__(self, resource_grid, cgnn_cfg: CGNNConfig,
-                 num_it: int | None = None, dtype=jnp.bfloat16):
+                 num_it: int | None = None, dtype=jnp.bfloat16,
+                 mcs_idx: int = 0):
         rg = resource_grid
         self.rg = rg
         self.cfg = cgnn_cfg
         self.num_it = num_it
         self.dtype = dtype
         self.num_layers = rg.num_tx
+        # the engine is compiled for ONE MCS (reference exports one
+        # engine per config); one-hot mask selects its IO heads
+        self.mcs_idx = mcs_idx
 
         slot = rg.configs[0].carrier.slot_number
         self.pe = pilot_positional_encoding(
@@ -106,11 +110,13 @@ class AerialNRX:
         hi_g = hi_t[:, tx_idx, gi]
         h_in = jnp.concatenate([hr_g, hi_g], axis=-1)
 
+        mcs_mask = jnp.tile(
+            jax.nn.one_hot(self.mcs_idx, self.cfg.num_mcs)[None, None],
+            (b, t, 1))
         llrs, _ = cgnn_apply(
             params["cgnn"], self.cfg, y_in, jnp.asarray(self.pe), h_in,
-            dmrs_port_mask.astype(jnp.float32),
-            jnp.ones((b, t, self.cfg.num_mcs)), num_it=self.num_it,
-            dtype=self.dtype)
-        llr = llrs[-1][0]  # [b, T, sym, sc, bits]
+            dmrs_port_mask.astype(jnp.float32), mcs_mask,
+            num_it=self.num_it, dtype=self.dtype)
+        llr = llrs[-1][self.mcs_idx]  # [b, T, sym, sc, bits]
         # Aerial order [b, T, sc, sym, bits], sign-flipped
         return -jnp.transpose(llr, (0, 1, 3, 2, 4))

@@ -46,10 +46,7 @@ class AerialDataGenerator:
 
         # LS at NONZERO pilot REs per TX (the Aerial engine receives
         # per-layer pilot estimates before FOCC removal)
-        est = self.model.receiver._ls
-        y_flat = y.reshape(y.shape[0], y.shape[1], -1)
-        y_p = y_flat[..., est._pilot_flat_ind]
-        h_ls = y_p[:, :, None, :] * jnp.asarray(est._pilot_inv)[None, None]
+        h_ls = self.model.receiver._ls.ls_at_pilots(y)
         # select this engine's per-TX nonzero pilot subset, Aerial order
         # [b, pilots, layers, ant]
         slot = self.rg.configs[0].carrier.slot_number

@@ -185,30 +185,13 @@ def reference_layered_decode(code: LDPCCode, llr_ch: np.ndarray,
 def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 10,
                    interpret: bool = False):
     """Drop-in fast variant of phy.nr.tb.tb_decode using the pallas
-    layered decoder. Same I/O contract: llr [..., G] log(p1/p0) ->
-    (b_hat [..., A], tb_crc_pass [...]). Falls back to the flooding
-    decoder for lifting sizes that are not lane multiples."""
-    from ..phy.nr import crc as crc_mod
-    from ..phy.nr.rate_match import rate_recover
+    layered decoder (same I/O contract; delegates the shared
+    descramble/rate-recover/CRC scaffolding to tb_decode). Falls back to
+    the flooding decoder for lifting sizes that are not lane
+    multiples."""
+    from ..phy.nr.tb import tb_decode
     if cfg.z % 128 != 0:
-        from ..phy.nr.tb import tb_decode
         return tb_decode(cfg, llr)
     decoder = make_decoder(cfg.code, num_iter=num_iter,
                            interpret=interpret)
-    scr = jnp.asarray(cfg.scramb_seq)
-    llr_int = -llr * (1.0 - 2.0 * scr)
-    llr_int = jnp.clip(llr_int, -20.0, 20.0)
-    cb_bits = []
-    offset = 0
-    for r in range(cfg.num_cbs):
-        e_r = cfg.cb_es[r]
-        llr_cb = llr_int[..., offset:offset + e_r]
-        offset += e_r
-        full = rate_recover(cfg.code, llr_cb, cfg.k_prime, cfg.qm)
-        hard = decoder(full)
-        cb_bits.append(hard[..., :cfg.k_prime])
-    blocks = jnp.stack(cb_bits, axis=-2)
-    payload = blocks[..., :-24] if cfg.num_cbs > 1 else blocks
-    b = payload.reshape(payload.shape[:-2] + (-1,))
-    tb_ok = crc_mod.crc_check(b, cfg.tb_crc)
-    return b[..., :cfg.tb_size], tb_ok
+    return tb_decode(cfg, llr, decoder=decoder)

@@ -41,8 +41,14 @@ class LSChannelEstimator:
         mask = rg.pilot_mask  # [14, sc], same for all tx
         self._pilot_flat_ind = np.flatnonzero(mask.reshape(-1)).astype(
             np.int32)  # [n_pilots] row-major (symbol-major)
-        # Per-TX pilot values in the same flat order
-        self.pilots = rg.pilots[slot]  # [num_tx, n_pilots] complex
+        # Per-TX pilot values in the same flat order. Pilot POSITIONS are
+        # slot-independent; VALUES are not — the full per-slot bank is
+        # kept so a (possibly traced) slot index can select the values
+        # that were actually transmitted (training randomizes the DMRS
+        # slot; the reference's estimator shares the transmitter's live
+        # pilot object, reference neural_rx.py:1290-1291).
+        self.pilot_bank = rg.pilots  # [num_slots, num_tx, n_pilots]
+        self.pilots = rg.pilots[slot]  # default-slot values
 
         # Precompute per-TX NN gather indices [num_tx, 14, sc] -> pilot idx
         n_sym, n_sc = mask.shape
@@ -58,13 +64,17 @@ class LSChannelEstimator:
             gather[tx] = np.argmin(d, axis=-1)
         self._gather_ind = gather
 
-        # Safe reciprocal of pilots (0 where pilot is 0)
+        # Safe reciprocal of pilots (0 where pilot is 0), full slot bank
+        pb = self.pilot_bank
+        self._pilot_inv_bank = np.where(
+            np.abs(pb) > 0, 1.0 / np.where(np.abs(pb) > 0, pb, 1.0), 0.0
+        ).astype(np.complex64)  # [num_slots, tx, n_pilots]
+        self._pilot_inv = self._pilot_inv_bank[slot]
         p = self.pilots
-        self._pilot_inv = np.where(np.abs(p) > 0, 1.0 / np.where(
-            np.abs(p) > 0, p, 1.0), 0.0).astype(np.complex64)
         self._pilot_pow_inv = np.where(
             np.abs(p) > 0, 1.0 / np.maximum(np.abs(p) ** 2, 1e-12), 0.0
-        ).astype(np.float32)
+        ).astype(np.float32)  # |p| is slot-independent (QPSK * beta)
+        self._default_slot = slot
 
         # FOCC despreading partner map: for DMRS with frequency-domain
         # OCC (config type 1: k' in {0,1} of the same group n; type 2:
@@ -86,7 +96,25 @@ class LSChannelEstimator:
                 partner[tx] = part
             self._focc_partner = partner
 
-    def __call__(self, y: jnp.ndarray, no) -> tuple[jnp.ndarray, jnp.ndarray]:
+    def ls_at_pilots(self, y: jnp.ndarray, slot_idx=None) -> jnp.ndarray:
+        """Raw LS estimates at pilot REs: y [b, ant, 14, sc] ->
+        h_ls [b, ant, num_tx, n_pilots] (zeros on other-comb REs).
+
+        slot_idx (possibly traced) selects which slot's DMRS values were
+        transmitted; defaults to the configured slot.
+        """
+        b, n_ant = y.shape[0], y.shape[1]
+        y_flat = y.reshape(b, n_ant, -1)
+        y_p = y_flat[..., self._pilot_flat_ind]  # [b, ant, n_pilots]
+        if slot_idx is None:
+            inv = jnp.asarray(self._pilot_inv)
+        else:
+            inv = jnp.take(jnp.asarray(self._pilot_inv_bank),
+                           slot_idx, axis=0)
+        return y_p[:, :, None, :] * inv[None, None]
+
+    def __call__(self, y: jnp.ndarray, no, slot_idx=None
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """y: [batch, num_rx_ant, 14, sc] -> (h_hat, err_var).
 
         h_hat: [batch, num_rx_ant, num_tx, 14, sc] complex — per-UE
@@ -95,11 +123,7 @@ class LSChannelEstimator:
         """
         rg = self.rg
         b, n_ant = y.shape[0], y.shape[1]
-        y_flat = y.reshape(b, n_ant, -1)
-        y_p = y_flat[..., self._pilot_flat_ind]  # [b, ant, n_pilots]
-
-        # LS per TX: h_ls[b, ant, tx, n_pilots]
-        h_ls = y_p[:, :, None, :] * jnp.asarray(self._pilot_inv)[None, None]
+        h_ls = self.ls_at_pilots(y, slot_idx)  # [b, ant, tx, n_pilots]
         ev = jnp.asarray(no, jnp.float32) * jnp.ones((b, n_ant, 1, 1))
         ev = ev * jnp.asarray(self._pilot_pow_inv)[None, None]
         if self.focc_removal:

@@ -100,9 +100,18 @@ def tb_encode(cfg: TBConfig, bits: jnp.ndarray) -> jnp.ndarray:
     return jnp.mod(coded + scr, 2.0)
 
 
-def tb_decode(cfg: TBConfig, llr: jnp.ndarray):
+def tb_decode(cfg: TBConfig, llr: jnp.ndarray, decoder=None):
     """llr [..., G] (Sionna convention log(p1/p0)) ->
-    (b_hat [..., A], tb_crc_pass [...])."""
+    (b_hat [..., A], tb_crc_pass [...]).
+
+    decoder: optional codeword decoder fn(llr_internal [..., n_full]) ->
+    hard bits, replacing the default flooding BP (used by the pallas
+    fast path, kernels/ldpc_pallas.tb_decode_fast).
+    """
+    if decoder is None:
+        def decoder(full):
+            return ldpc_decode(cfg.code, full, cfg.num_bp_iter,
+                               cfg.cn_type)
     scr = jnp.asarray(cfg.scramb_seq)
     # descramble: flip LLR sign where scrambling bit is 1, then negate to
     # the decoder-internal log(p0/p1) convention
@@ -115,7 +124,7 @@ def tb_decode(cfg: TBConfig, llr: jnp.ndarray):
         llr_cb = llr_int[..., offset:offset + e_r]
         offset += e_r
         full = rate_recover(cfg.code, llr_cb, cfg.k_prime, cfg.qm)
-        hard = ldpc_decode(cfg.code, full, cfg.num_bp_iter, cfg.cn_type)
+        hard = decoder(full)
         cb_bits.append(hard[..., :cfg.k_prime])  # drop filler + parity
     blocks = jnp.stack(cb_bits, axis=-2)  # [..., C, K']
     if cfg.num_cbs > 1:

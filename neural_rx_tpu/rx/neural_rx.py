@@ -90,11 +90,12 @@ class NeuralPUSCHReceiver:
         return count_params(params)
 
     # -- shared input pipeline -------------------------------------------
-    def _prepare_inputs(self, y):
+    def _prepare_inputs(self, y, slot_idx=None):
         """y complex [b, rx_ant, sym, sc] -> (y_in, h_in).
 
         y_in: [b, sym, sc, 2*rx_ant] real; h_in: [b, T, sym, sc, 2*rx_ant]
-        real (LS estimate) or None.
+        real (LS estimate) or None. slot_idx selects the DMRS values the
+        transmitter actually used (training randomizes the slot).
         """
         if self.mask_pilots:
             b, a = y.shape[:2]
@@ -107,7 +108,7 @@ class NeuralPUSCHReceiver:
             axis=-1)
         h_in = None
         if self._ls is not None:
-            h_hat, _ = self._ls(y, _LS_FIXED_NO)  # [b, ant, T, sym, sc]
+            h_hat, _ = self._ls(y, _LS_FIXED_NO, slot_idx=slot_idx)
             h_hat = h_hat[:, :, :self.max_num_tx]
             h_in = jnp.concatenate(
                 [jnp.moveaxis(h_hat.real, 1, -1),
@@ -129,7 +130,7 @@ class NeuralPUSCHReceiver:
     # -- evaluation ------------------------------------------------------
     def apply(self, params, y, active_tx, mcs_arr_eval=(0,),
               mcs_ue_mask=None, num_it: int | None = None,
-              fast_ldpc: bool = False):
+              fast_ldpc: bool = False, slot_idx=None):
         """Eval forward: returns (b_hat, h_hat_refined, h_hat_init, crc).
 
         y: [b, rx_ant, sym, sc] complex; active_tx: [b, max_num_tx].
@@ -142,7 +143,7 @@ class NeuralPUSCHReceiver:
             mcs_ue_mask = jax.nn.one_hot(
                 jnp.full((b, self.max_num_tx), mcs_arr_eval[0]),
                 self.num_mcs)
-        y_in, h_in = self._prepare_inputs(y)
+        y_in, h_in = self._prepare_inputs(y, slot_idx)
         llrs, h_hats = cgnn_apply(
             params["cgnn"], self.cgnn_cfg, y_in, jnp.asarray(self.pe),
             h_in, active_tx, mcs_ue_mask, num_it=num_it,
@@ -169,7 +170,7 @@ class NeuralPUSCHReceiver:
     def training_loss(self, params, y, active_tx, bits_list, h,
                       mcs_ue_mask, mcs_arr_eval=None,
                       apply_multiloss: bool = False,
-                      num_it: int | None = None):
+                      num_it: int | None = None, slot_idx=None):
         """Training forward returning (loss_data, loss_chest).
 
         bits_list: list over evaluated MCS of coded-bit LABELS
@@ -179,7 +180,7 @@ class NeuralPUSCHReceiver:
         """
         if mcs_arr_eval is None:
             mcs_arr_eval = list(range(self.num_mcs))
-        y_in, h_in = self._prepare_inputs(y)
+        y_in, h_in = self._prepare_inputs(y, slot_idx)
         llrs, h_hats = cgnn_apply(
             params["cgnn"], self.cgnn_cfg, y_in, jnp.asarray(self.pe),
             h_in, active_tx, mcs_ue_mask, num_it=num_it, training=True,

@@ -85,10 +85,7 @@ class BaselineE2EModel(E2EModel):
             return h_hat
         # lmmse: LS at nonzero pilot REs -> s-f-t interpolation
         b, ant = y.shape[:2]
-        y_flat = y.reshape(b, ant, -1)
-        y_p = y_flat[..., self.ls._pilot_flat_ind]
-        h_ls = y_p[:, :, None, :] * jnp.asarray(self.ls._pilot_inv)[None,
-                                                                    None]
+        h_ls = self.ls.ls_at_pilots(y)
         dmrs_syms = self.interp.dmrs_syms
         n_ds = len(dmrs_syms)
         h_pilots = {}

@@ -77,17 +77,19 @@ class E2EModel:
                                         center=True)
         return None
 
-    def _noise_variance(self, ebno_db):
+    def _noise_variance(self, ebno_db, mcs_idx: int = 0):
+        """Rate-adjusted N0 for the FIRST evaluated MCS (reference
+        e2e_model copy.py:483-488 uses transmitters[mcs_arr_eval[0]])."""
         p = self.p
-        tx0 = self.transmitters[0]
+        tx = self.transmitters[mcs_idx]
         if p.ebno:
             if p.mask_pilots:
                 # empty pilot REs are not transmitted -> rate shift
                 # (reference e2e_model copy.py:500-510)
                 ebno_db = ebno_db - 10.0 * jnp.log10(
                     1.0 - self._num_pilots / self._num_res)
-            return ebnodb2no(ebno_db, tx0.num_bits_per_symbol,
-                             tx0.target_coderate, self._num_res,
+            return ebnodb2no(ebno_db, tx.num_bits_per_symbol,
+                             tx.target_coderate, self._num_res,
                              self._num_data)
         return 10.0 ** (-jnp.asarray(ebno_db, jnp.float32) / 10.0)
 
@@ -181,7 +183,7 @@ class E2EModel:
         # --- impairments + channel --------------------------------------
         if p.frequency_offset is not None:
             x = p.frequency_offset(keys[3], x)
-        no = self._noise_variance(ebno_db)
+        no = self._noise_variance(ebno_db, mcs_arr_eval[0])
         y, h = self._channel(keys[4], batch_size, x, no)
         if self.mesh is not None:
             from ..dist.mesh import constrain
@@ -196,12 +198,21 @@ class E2EModel:
             return self.receiver.training_loss(
                 params, y, active_dmrs, labels, h, mcs_ue_mask,
                 mcs_arr_eval=mcs_arr_eval, apply_multiloss=apply_multiloss,
-                num_it=num_it)
+                num_it=num_it, slot_idx=slot_idx)
 
         b_hat, h_ref, h_init, crc = self.receiver.apply(
             params, y, active_dmrs, mcs_arr_eval=tuple(mcs_arr_eval),
-            mcs_ue_mask=mcs_ue_mask, num_it=num_it, fast_ldpc=fast_ldpc)
-        return bits[0], b_hat, crc
+            mcs_ue_mask=mcs_ue_mask, num_it=num_it, fast_ldpc=fast_ldpc,
+            slot_idx=slot_idx)
+        # restrict metrics to active ports (reference _mask_active_dmrs,
+        # e2e_model.py:358): zero both bit tensors for inactive ports and
+        # mark their CRC as passed so they contribute no errors
+        am = active_dmrs[..., None]
+        b = bits[0] * am
+        b_hat = b_hat * am
+        crc = jnp.where(active_dmrs > 0, crc,
+                        jnp.ones_like(crc))
+        return b, b_hat, crc
 
 
 def tb_encode_batch(transmitter, bits):

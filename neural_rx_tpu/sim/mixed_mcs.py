@@ -52,7 +52,9 @@ class MixedMCSE2EModel(E2EModel):
 
         x = None
         for i, idx in enumerate(self.mcs_arr_eval):
-            x_i = self.transmitters[idx](bits[i])
+            pts = self._constellation_points(params, idx)
+            x_i = self.transmitters[idx](bits[i],
+                                         constellation_points=pts)
             m = mcs_ue_mask[:, :, idx].astype(jnp.complex64)
             x_i = x_i * m[:, :, None, None, None]
             x = x_i if x is None else x + x_i

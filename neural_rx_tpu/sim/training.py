@@ -61,9 +61,10 @@ def make_chunk_step(model, sys_parameters, optimizer,
                     chunk: int = 100):
     """Build a jitted function running `chunk` SGD iterations.
 
-    Signature: (params, opt_state, key, min_snr_db, max_snr_db) ->
-    (params, opt_state, (loss_data, loss_chest, loss)).
-    min/max_snr_db: [num_user_counts] arrays (per active-user count).
+    The per-user-count SNR ranges are TRACED arguments of the jitted
+    chunk, so one compiled chunk serves every schedule phase with the
+    same static flags (batch/multiloss/readout). `set_snr_range(lo, hi)`
+    stores the arrays passed to subsequent calls.
     """
     p = sys_parameters
     num_mcs = len(p.mcs_index)
@@ -74,15 +75,15 @@ def make_chunk_step(model, sys_parameters, optimizer,
 
     from .e2e import sample_active_dmrs
 
-    def loss_fn(params, key):
+    def loss_fn(params, key, min_snr_db, max_snr_db):
         keys = jax.random.split(key, 5)
         num_tx = triangular_sample(keys[0], p.min_num_tx, p.max_num_tx)
         mcs_idx, mcs_ue_mask = sample_mcs_assignment(
             keys[1], batch_size, p.max_num_tx, mcs_arr_training_idx,
             num_mcs, num_tx=num_tx, min_num_tx=p.min_num_tx,
             mcs_training_probs=mcs_probs)
-        lo = jnp.asarray(min_snr_db_holder[0])[num_tx - p.min_num_tx]
-        hi = jnp.asarray(max_snr_db_holder[0])[num_tx - p.min_num_tx]
+        lo = min_snr_db[num_tx - p.min_num_tx]
+        hi = max_snr_db[num_tx - p.min_num_tx]
         snr_db = jax.random.uniform(keys[2], (batch_size,), minval=lo,
                                     maxval=hi)
         active_dmrs = sample_active_dmrs(keys[3], batch_size, num_tx,
@@ -98,34 +99,36 @@ def make_chunk_step(model, sys_parameters, optimizer,
                             else 0.0)
         return loss, (loss_data, loss_chest)
 
-    # snr ranges are closed over via a mutable holder so the jitted chunk
-    # can be reused across phases with identical static config
-    min_snr_db_holder = [np.zeros(p.max_num_tx - p.min_num_tx + 1)]
-    max_snr_db_holder = [np.ones(p.max_num_tx - p.min_num_tx + 1)]
-
     def one_step(carry, key):
-        params, opt_state = carry
+        params, opt_state, lo, hi = carry
         (loss, (ld, lc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, key)
+            loss_fn, has_aux=True)(params, key, lo, hi)
         if "constellation" in params and not train_tx:
             grads = dict(grads)
             grads["constellation"] = jax.tree.map(
                 jnp.zeros_like, params["constellation"])
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state), (ld, lc, loss)
+        return (params, opt_state, lo, hi), (ld, lc, loss)
 
     @jax.jit
-    def chunk_step(params, opt_state, key):
+    def _chunk(params, opt_state, key, min_snr_db, max_snr_db):
         keys = jax.random.split(key, chunk)
-        (params, opt_state), losses = jax.lax.scan(
-            one_step, (params, opt_state), keys)
+        (params, opt_state, _, _), losses = jax.lax.scan(
+            one_step, (params, opt_state, min_snr_db, max_snr_db), keys)
         ld, lc, loss = (x[-1] for x in losses)
         return params, opt_state, (ld, lc, loss)
 
+    snr_range = [np.zeros(p.max_num_tx - p.min_num_tx + 1, np.float32),
+                 np.ones(p.max_num_tx - p.min_num_tx + 1, np.float32)]
+
+    def chunk_step(params, opt_state, key):
+        return _chunk(params, opt_state, key,
+                      jnp.asarray(snr_range[0]), jnp.asarray(snr_range[1]))
+
     chunk_step.set_snr_range = lambda lo, hi: (
-        min_snr_db_holder.__setitem__(0, np.asarray(lo, np.float32)),
-        max_snr_db_holder.__setitem__(0, np.asarray(hi, np.float32)))
+        snr_range.__setitem__(0, np.asarray(lo, np.float32)),
+        snr_range.__setitem__(1, np.asarray(hi, np.float32)))
     return chunk_step
 
 

@@ -74,12 +74,15 @@ def generate_synthetic_cir_dataset(
             [[1.0], 0.3 * rng.rayleigh(scale=1.0, size=num_paths - 1)])
         gains = gains / np.linalg.norm(gains)
         phases = np.exp(-2j * np.pi * dists / lam)
-        # simple array response per path (angles from geometry)
-        targets = np.vstack([p[None], scat])
-        aod = np.arctan2(targets[:, 1] - p[1] + 1e-9,
-                         targets[:, 0] - p[0] + 1e-9)
-        aoa = np.arctan2(targets[:, 1] - bs[1] + 1e-9,
-                         targets[:, 0] - bs[0] + 1e-9)
+        # simple array response per path (angles from geometry):
+        # direct path departs toward the BS / arrives from the UE;
+        # scattered paths depart/arrive via their scatterer
+        dep_targets = np.vstack([bs[None], scat])
+        arr_targets = np.vstack([p[None], scat])
+        aod = np.arctan2(dep_targets[:, 1] - p[1],
+                         dep_targets[:, 0] - p[0] + 1e-9)
+        aoa = np.arctan2(arr_targets[:, 1] - bs[1],
+                         arr_targets[:, 0] - bs[0] + 1e-9)
         for pi in range(num_paths):
             ar = np.exp(1j * np.pi * np.arange(num_rx_ant)
                         * np.sin(aoa[pi]))
