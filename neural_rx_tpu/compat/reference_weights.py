@@ -97,3 +97,51 @@ def load_reference_weights(path: str, params: dict) -> dict:
     with open(path, "rb") as f:
         wl = pickle.load(f)
     return {"cgnn": import_reference_weights(params["cgnn"], wl)}
+
+
+# ---------------------------------------------------------------------------
+# Export (framework -> reference format): the inverse mapping, so models
+# trained here can be loaded by reference tooling (same 43-array layout)
+# ---------------------------------------------------------------------------
+
+def _dump_sepconv(p, out):
+    out.append(np.transpose(np.asarray(p["dw"]), (1, 0, 3, 2)))
+    out.append(np.asarray(p["pw"])[None, None])
+    out.append(np.asarray(p["b"]))
+
+
+def _dump_dense(p, out):
+    out.append(np.asarray(p["w"]))
+    out.append(np.asarray(p["b"]))
+
+
+def _dump_conv_stack(p, out):
+    for lp in p["hidden"]:
+        _dump_sepconv(lp, out)
+    _dump_sepconv(p["out"], out)
+
+
+def _dump_mlp(p, out):
+    for lp in p["hidden"]:
+        _dump_dense(lp, out)
+    _dump_dense(p["out"], out)
+
+
+def export_reference_weights(params: dict) -> list:
+    """CGNN param pytree -> reference-ordered get_weights() list."""
+    cg = params["cgnn"] if "cgnn" in params else params
+    out: list = []
+    for p in cg["s_init"]:
+        _dump_conv_stack(p, out)
+    for it in cg["iterations"]:
+        _dump_mlp(it["agg"], out)
+        _dump_conv_stack(it["update"], out)
+    for p in cg["readout_llrs"]:
+        _dump_mlp(p, out)
+    _dump_mlp(cg["readout_chest"], out)
+    return out
+
+
+def save_reference_weights(path: str, params: dict):
+    with open(path, "wb") as f:
+        pickle.dump(export_reference_weights(params), f)
