@@ -108,3 +108,15 @@ class ResourceGrid:
         [num_tx, 14, sc] complex."""
         bank = jnp.asarray(self.dmrs_grids)
         return jnp.take(bank, slot_idx, axis=0)
+
+    @property
+    def effective_subcarrier_ind(self) -> np.ndarray:
+        """Indices of effective (non-nulled) subcarriers. The PUSCH BWP
+        grid has no guard/DC nulls (fft_size == effective count), so
+        this is the identity — kept for API parity with the reference's
+        RemoveNulledSubcarriers (neural_rx.py:884-913)."""
+        return np.arange(self.num_subcarriers)
+
+    def remove_nulled_subcarriers(self, grid: jnp.ndarray) -> jnp.ndarray:
+        """Slice effective subcarriers (identity for PUSCH grids)."""
+        return grid[..., self.effective_subcarrier_ind]
