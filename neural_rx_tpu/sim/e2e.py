@@ -124,12 +124,15 @@ class E2EModel:
     def __call__(self, params, key, batch_size: int, ebno_db,
                  num_tx=None, active_dmrs=None, mcs_arr_eval_idx=0,
                  mcs_ue_mask=None, apply_multiloss: bool = False,
-                 num_it: int | None = None, fast_ldpc: bool = False):
+                 num_it: int | None = None, fast_ldpc: bool = False,
+                 output_nrx_h_hat: bool = False):
         """Run the end-to-end system.
 
         Training: returns (loss_data, loss_chest).
         Eval: returns (b, b_hat, tb_crc_status) for the first evaluated
-        MCS, each masked to active ports.
+        MCS, each masked to active ports; with output_nrx_h_hat also
+        (h_true_eff, h_hat_refined, h_hat_init) — the reference's
+        chest-inspection outputs (e2e_model copy.py:497-505).
         """
         p = self.p
         keys = jax.random.split(key, 8)
@@ -212,6 +215,9 @@ class E2EModel:
         b_hat = b_hat * am
         crc = jnp.where(active_dmrs > 0, crc,
                         jnp.ones_like(crc))
+        if output_nrx_h_hat:
+            h_true = self.receiver.preprocess_channel_ground_truth(h)
+            return b, b_hat, crc, h_true, h_ref, h_init
         return b, b_hat, crc
 
 
