@@ -138,3 +138,40 @@ class TestMisc:
     def test_awgn_variance(self):
         n = complex_awgn(jax.random.PRNGKey(0), (100000,), 0.25)
         assert abs(float(jnp.mean(jnp.abs(n) ** 2)) - 0.25) < 0.01
+
+
+class TestSourcesAndPatterns:
+    def test_qam_source_statistics(self):
+        from neural_rx_tpu.phy.sources import qam_source
+        import jax
+        x = np.asarray(qam_source(jax.random.PRNGKey(0), (20000,), 4))
+        assert abs((np.abs(x) ** 2).mean() - 1.0) < 0.05
+        assert len(np.unique(np.round(x, 5))) == 16
+
+    def test_qam_source_with_bits_consistent(self):
+        from neural_rx_tpu.phy.sources import qam_source_with_bits
+        from neural_rx_tpu.phy.mapping import demap_maxlog
+        from neural_rx_tpu.phy.constellation import qam_points
+        import jax, jax.numpy as jnp
+        sym, bits = qam_source_with_bits(jax.random.PRNGKey(1), (64,), 4)
+        llr = demap_maxlog(sym, jnp.asarray(qam_points(4)),
+                           jnp.asarray(0.01))
+        np.testing.assert_array_equal(np.asarray(llr) > 0,
+                                      np.asarray(bits) > 0.5)
+
+    def test_kronecker_pattern_orthogonal(self):
+        from neural_rx_tpu.phy.pilot_pattern import \
+            kronecker_pilot_pattern
+        pp = kronecker_pilot_pattern(2, 14, 24, [2, 11])
+        assert pp.num_pilot_symbols == 2 * 24
+        # disjoint supports across TXs
+        nz0 = np.abs(pp.pilots[0]) > 0
+        nz1 = np.abs(pp.pilots[1]) > 0
+        assert not np.any(nz0 & nz1)
+        # unit average energy over the grid positions each TX occupies
+        assert abs(np.mean(np.abs(pp.pilots[0][nz0]) ** 2) - 2.0) < 1e-5
+
+    def test_empty_pattern(self):
+        from neural_rx_tpu.phy.pilot_pattern import empty_pilot_pattern
+        pp = empty_pilot_pattern(1, 14, 48)
+        assert pp.num_pilot_symbols == 0
