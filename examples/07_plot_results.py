@@ -5,7 +5,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import argparse
 
 ap = argparse.ArgumentParser()
-ap.add_argument("--results", default="results/nrx_rt_results.pkl")
+ap.add_argument("--results", default="/tmp/demo_results.pkl")
 ap.add_argument("--out", default="/tmp/nrx_results")
 args = ap.parse_args()
 
