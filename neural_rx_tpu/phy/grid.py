@@ -38,8 +38,13 @@ class ResourceGrid:
         self.num_ofdm_symbols = c0.num_symbols_total
         self.num_subcarriers = c0.num_subcarriers
         self.num_slots_per_frame = c0.num_slots_per_frame
-        self.cyclic_prefix_length = 0  # freq-domain simulation (reference
-        # PUSCHTransmitter output_domain="freq"; CP never materialized)
+        # CP is never materialized (freq-domain simulation), but its
+        # energy overhead enters the Eb/No definition exactly as in the
+        # reference's ebnodb2no (siona_tf.py:3185-3190): normal CP is
+        # 144/2048 of the symbol for every numerology.
+        self.cp_overhead = 144.0 / 2048.0
+        self.cyclic_prefix_length = int(round(self.cp_overhead
+                                              * self.num_subcarriers))
 
         # Pilot mask: identical for every UE (union of CDM groups w/o data)
         self.pilot_mask = c0.pilot_mask()  # [14, sc] bool

@@ -58,7 +58,11 @@ class E2EModel:
             initial_chest=initial_chest, mask_pilots=p.mask_pilots,
             nrx_dtype=p.nrx_dtype)
         rg = p.transmitters[0].resource_grid
-        self._num_res = rg.num_resource_elements
+        # nonzero-energy symbol count includes the CP overhead factor
+        # (reference ebnodb2no, siona_tf.py:3185-3190); the pilotless
+        # rate-shift ratio uses raw RE counts (e2e copy.py:505-510)
+        self._num_res = rg.num_resource_elements * (1.0 + rg.cp_overhead)
+        self._num_res_raw = rg.num_resource_elements
         self._num_data = rg.num_data_symbols
         self._num_pilots = rg.num_pilot_symbols
         self._num_slots = rg.num_slots_per_frame
@@ -87,7 +91,7 @@ class E2EModel:
                 # empty pilot REs are not transmitted -> rate shift
                 # (reference e2e_model copy.py:500-510)
                 ebno_db = ebno_db - 10.0 * jnp.log10(
-                    1.0 - self._num_pilots / self._num_res)
+                    1.0 - self._num_pilots / self._num_res_raw)
             return ebnodb2no(ebno_db, tx.num_bits_per_symbol,
                              tx.target_coderate, self._num_res,
                              self._num_data)
