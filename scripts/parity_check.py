@@ -7,10 +7,10 @@ mirrored in BASELINE.md; DoubleTDLlow, 2 UE, MCS 14, 132 PRB):
     Eb/No  3 dB -> BLER 0.0936
     Eb/No  4 dB -> BLER 0.0160
 
-Measured with this framework (2026-08-17, f32):
-    Eb/No  2 dB -> BLER 0.203   (780 blocks, TPU)
-    Eb/No  3 dB -> BLER 0.040   (300 blocks, CPU)
-i.e. consistently ~0.3 dB better than the reference's committed curve.
+Measured with this framework (2026-08-17, f32, final calibration):
+    Eb/No 2.5 dB -> BLER 0.179  (reference curve interp ~0.175)
+    Eb/No 3.5 dB -> BLER 0.033  (reference curve interp ~0.039)
+i.e. BLER parity within <0.1 dB.
 
 Usage: python scripts/parity_check.py [--snr 2 3 4] [--cpu]
 """
