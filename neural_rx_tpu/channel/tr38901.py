@@ -10,7 +10,10 @@ Implemented subset of §7.5 (documented scope, honest approximations):
 - random single-sector drops (UT distance/angle/velocity resampled per
   call, like gen_single_sector_topology in the reference training loop)
 - distance-dependent LOS probability (Table 7.4.2-1)
-- lognormal DS / ASA / ASD / K per scenario & LOS state (Table 7.5-6)
+- lognormal DS / ASA / ASD / K per scenario & LOS state (Table 7.5-6),
+  drawn jointly with the inter-LSP cross-correlation matrix over
+  (DS, ASA, ASD, K) from the same table (SF rows dropped: shadow
+  fading is disabled in the reference setup)
 - cluster delays (exponential, r_tau scaling, LOS K-correction), powers
   (delay-proportional + 3 dB per-cluster shadowing), azimuth
   angles (wrapped Gaussian around LOS, scaled by cluster AS), 20 rays
@@ -21,6 +24,9 @@ Implemented subset of §7.5 (documented scope, honest approximations):
   street-canyon setting and the arrays are single-row ULAs)
 - per-ray Doppler from UT speed (uniform direction), evolved across the
   14-symbol slot
+- cluster splitting of the two strongest clusters into 3 sub-clusters
+  at delay offsets {0, 1.28, 2.56}*c_DS with the Table 7.5-5 fixed
+  ray-to-sub-cluster assignment (§7.5 step 11)
 Not implemented, with the quantitative justification for this setup
 (uplink, SNR-normalized — no pathloss/shadowing — horizontal single-row
 ULAs at both ends, reference parameters.py:291-354):
@@ -29,14 +35,8 @@ ULAs at both ends, reference parameters.py:291-354):
   (ZSA ~ 5-10 deg) cos(el) >= 0.99, and the element pattern's vertical
   cut changes gains by < 0.2 dB — both below the Monte-Carlo noise of
   any BLER curve here.
-- inter-LSP cross-correlations (DS-ASA etc.): affects the joint tail
-  distribution of per-drop spreads; marginals (the dominant effect on
-  a trained receiver's input statistics) are exact.
 - spatial consistency / O2I: reference disables indoor users and drops
   users i.i.d. per step, so neither engages.
-- cluster splitting of the two strongest clusters: redistributes ~10%
-  of power within ~ +-2 deg / +-1.28 c_DS — second-order vs the 3 dB
-  per-cluster shadowing already modeled.
 
 Everything is traced jnp with static shapes: the number of clusters/rays
 is fixed per scenario; LOS/NLOS is handled by masking (both branches
@@ -57,6 +57,39 @@ RAY_OFFSETS = np.array([
     0.5129, -0.5129, 0.6797, -0.6797, 0.8844, -0.8844, 1.1481, -1.1481,
     1.5195, -1.5195, 2.1551, -2.1551])
 
+# Fixed ray -> sub-cluster assignment for split clusters
+# (38.901 Table 7.5-5, 0-based: R1={1-8,19,20}, R2={9-12,17,18},
+# R3={13-16}); one-hot [num_rays, 3]
+_SUB_OF_RAY = np.zeros(20, np.int64)
+_SUB_OF_RAY[[8, 9, 10, 11, 16, 17]] = 1
+_SUB_OF_RAY[[12, 13, 14, 15]] = 2
+RAY_SUBCLUSTER = np.eye(3, dtype=np.float32)[_SUB_OF_RAY]
+# sub-cluster delay offsets in units of c_DS (38.901 §7.5 step 11)
+SUBCLUSTER_DELAY_OFFSETS = np.array([0.0, 1.28, 2.56], np.float32)
+
+# Inter-LSP cross-correlations (Table 7.5-6; SF rows dropped — shadow
+# fading is disabled in the reference's setup), order (DS, ASA, ASD, K)
+_LSP_XCORR = {
+    ("umi", "los"): dict(ds_asa=0.8, ds_asd=0.5, ds_k=-0.7,
+                         asa_asd=0.4, asa_k=-0.3, asd_k=-0.2),
+    ("umi", "nlos"): dict(ds_asa=0.4, ds_asd=0.0, ds_k=0.0,
+                          asa_asd=0.0, asa_k=0.0, asd_k=0.0),
+    ("uma", "los"): dict(ds_asa=0.8, ds_asd=0.4, ds_k=-0.4,
+                         asa_asd=0.0, asa_k=-0.2, asd_k=0.0),
+    ("uma", "nlos"): dict(ds_asa=0.6, ds_asd=0.4, ds_k=0.0,
+                          asa_asd=0.4, asa_k=0.0, asd_k=0.0),
+}
+
+
+def _lsp_cholesky(scenario: str, state: str) -> np.ndarray:
+    c = _LSP_XCORR[(scenario, state)]
+    m = np.array([
+        [1.0, c["ds_asa"], c["ds_asd"], c["ds_k"]],
+        [c["ds_asa"], 1.0, c["asa_asd"], c["asa_k"]],
+        [c["ds_asd"], c["asa_asd"], 1.0, c["asd_k"]],
+        [c["ds_k"], c["asa_k"], c["asd_k"], 1.0]], np.float64)
+    return np.linalg.cholesky(m).astype(np.float32)
+
 # Table 7.5-6 subsets: {scenario: {los/nlos: params}}; fc in GHz.
 def _umi_params(fc):
     lf = np.log10(1 + fc)
@@ -66,32 +99,37 @@ def _umi_params(fc):
             asd_mu=-0.05 * lf + 1.21, asd_sig=0.41,
             asa_mu=-0.08 * lf + 1.73, asa_sig=0.014 * lf + 0.28,
             k_mu=9.0, k_sig=5.0, r_tau=3.0, num_clusters=12,
-            c_asd=3.0, c_asa=17.0, xpr_mu=9.0, xpr_sig=3.0, zeta=3.0),
+            c_asd=3.0, c_asa=17.0, xpr_mu=9.0, xpr_sig=3.0, zeta=3.0,
+            c_ds_ns=5.0),
         "nlos": dict(
             ds_mu=-0.24 * lf - 6.83, ds_sig=0.16 * lf + 0.28,
             asd_mu=-0.23 * lf + 1.53, asd_sig=0.11 * lf + 0.33,
             asa_mu=-0.08 * lf + 1.81, asa_sig=0.05 * lf + 0.3,
             k_mu=0.0, k_sig=0.0, r_tau=2.1, num_clusters=19,
-            c_asd=10.0, c_asa=22.0, xpr_mu=8.0, xpr_sig=3.0, zeta=3.0),
+            c_asd=10.0, c_asa=22.0, xpr_mu=8.0, xpr_sig=3.0, zeta=3.0,
+            c_ds_ns=11.0),
     }
 
 
 def _uma_params(fc):
     fc = max(fc, 6.0)  # 38.901: fc floor for UMa LSP formulas
     lf = np.log10(fc)
+    c_ds = max(0.25, 6.5622 - 3.4084 * lf)  # Table 7.5-6 Part-2
     return {
         "los": dict(
             ds_mu=-6.955 - 0.0963 * lf, ds_sig=0.66,
             asd_mu=1.06 + 0.1114 * lf, asd_sig=0.28,
             asa_mu=1.81, asa_sig=0.20,
             k_mu=9.0, k_sig=3.5, r_tau=2.5, num_clusters=12,
-            c_asd=5.0, c_asa=11.0, xpr_mu=8.0, xpr_sig=4.0, zeta=3.0),
+            c_asd=5.0, c_asa=11.0, xpr_mu=8.0, xpr_sig=4.0, zeta=3.0,
+            c_ds_ns=c_ds),
         "nlos": dict(
             ds_mu=-6.28 - 0.204 * lf, ds_sig=0.39,
             asd_mu=1.5 - 0.1144 * lf, asd_sig=0.28,
             asa_mu=2.08 - 0.27 * lf, asa_sig=0.11,
             k_mu=0.0, k_sig=0.0, r_tau=2.3, num_clusters=20,
-            c_asd=2.0, c_asa=15.0, xpr_mu=7.0, xpr_sig=3.0, zeta=3.0),
+            c_asd=2.0, c_asa=15.0, xpr_mu=7.0, xpr_sig=3.0, zeta=3.0,
+            c_ds_ns=c_ds),
     }
 
 
@@ -121,8 +159,11 @@ class UMiUMaChannel:
                  num_rx_ant: int = 4, num_tx_ant: int = 2,
                  min_speed: float = 0.0, max_speed: float = 0.0,
                  normalize: bool = False, cell_radius: float = 120.0,
-                 min_dist: float = 10.0):
+                 min_dist: float = 10.0, cluster_split: bool = True):
         assert scenario in ("umi", "uma")
+        self.cluster_split = cluster_split
+        self.lsp_chol = {s: _lsp_cholesky(scenario, s)
+                         for s in ("los", "nlos")}
         self.scenario = scenario
         self.fc = carrier_frequency
         fc_ghz = carrier_frequency / 1e9
@@ -146,18 +187,22 @@ class UMiUMaChannel:
         self.n_rays = 20
 
     def _lsp(self, key, state, shape):
-        """Sample lognormal LSPs for one LOS state: returns dict."""
+        """Sample jointly-correlated lognormal LSPs for one LOS state.
+
+        Standard normals over (DS, ASA, ASD, K) are colored by the
+        Cholesky factor of the Table 7.5-6 cross-correlation matrix
+        before the per-LSP mu/sigma affine map.
+        """
         p = self.params[state]
-        ks = jax.random.split(key, 4)
-        ds = 10 ** (p["ds_mu"] + p["ds_sig"]
-                    * jax.random.normal(ks[0], shape))
-        asa = 10 ** (p["asa_mu"] + p["asa_sig"]
-                     * jax.random.normal(ks[1], shape))
-        asd = 10 ** (p["asd_mu"] + p["asd_sig"]
-                     * jax.random.normal(ks[2], shape))
+        n = jax.random.normal(key, shape + (4,))
+        chol = jnp.asarray(self.lsp_chol[state])
+        x = jnp.einsum("...j,ij->...i", n, chol)
+        ds = 10 ** (p["ds_mu"] + p["ds_sig"] * x[..., 0])
+        asa = 10 ** (p["asa_mu"] + p["asa_sig"] * x[..., 1])
+        asd = 10 ** (p["asd_mu"] + p["asd_sig"] * x[..., 2])
         asa = jnp.minimum(asa, 104.0)
         asd = jnp.minimum(asd, 104.0)
-        k_db = p["k_mu"] + p["k_sig"] * jax.random.normal(ks[3], shape)
+        k_db = p["k_mu"] + p["k_sig"] * x[..., 3]
         return ds, asa, asd, k_db
 
     def __call__(self, key, batch_size: int, num_tx: int,
@@ -234,6 +279,24 @@ class UMiUMaChannel:
             + 0.000017 * k_db_s ** 3
         tau = jnp.where(is_los[..., None], tau / jnp.maximum(c_tau[..., None],
                                                              1e-3), tau)
+
+        # ---- cluster splitting (step 11): two strongest clusters ------
+        # get 3 sub-delays at {0, 1.28, 2.56}*c_DS; rays are assigned to
+        # sub-clusters by the fixed Table 7.5-5 map. Unsplit clusters
+        # keep all three sub-delays equal to tau, so summing the three
+        # masked ray-subsets reproduces the plain per-cluster sum.
+        if self.cluster_split:
+            order = jnp.argsort(-p_cl, axis=-1)
+            ranks = jnp.argsort(order, axis=-1)  # 0 = strongest
+            is_split = ((ranks < 2) & (cl_mask > 0)).astype(jnp.float32)
+        else:
+            is_split = jnp.zeros_like(p_cl)
+        c_ds_s = sel(jnp.full(shape, pl["c_ds_ns"]),
+                     jnp.full(shape, pn["c_ds_ns"])) * 1e-9
+        sub_off = jnp.asarray(SUBCLUSTER_DELAY_OFFSETS)
+        tau_sub = tau[..., None] + (is_split * c_ds_s[..., None])[..., None] \
+            * sub_off  # [B,T,NC,3]
+        ray_sub = jnp.asarray(RAY_SUBCLUSTER)  # [NR,3]
 
         # ---- azimuth angles (step 7, wrapped-Gaussian method) ---------
         c_phi_n = {8: 0.703, 10: 0.737, 11: 0.753, 12: 0.779, 14: 0.810,
@@ -320,10 +383,10 @@ class UMiUMaChannel:
         def mimo_taps(amp_pol):
             # a[B,T,NC,NR] complex pol amplitude
             w = (p_ray * amp_pol)[..., None] * ray_phase_t  # [B,T,NC,NR,sym]
-            # outer product of steering vectors, summed over rays
-            # g[B,T,NC,sym,cols,ut]
-            g = jnp.einsum("btcrs,btcrm,btcrn->btcsmn", w, steer_bs,
-                           steer_ut)
+            # steering outer product, rays summed per sub-cluster
+            # g[B,T,3,NC,sym,cols,ut]
+            g = jnp.einsum("btcrs,rk,btcrm,btcrn->btkcsmn", w, ray_sub,
+                           steer_bs, steer_ut)
             return g
 
         g_p = mimo_taps(amp_p)
@@ -347,12 +410,12 @@ class UMiUMaChannel:
 
         # ---- project taps onto subcarriers -----------------------------
         f = (jnp.arange(num_sc) - (num_sc - 1) / 2.0) * subcarrier_spacing
-        phase = jnp.exp(-1j * 2 * np.pi * f[None, None, None, :]
-                        * tau[..., None])  # [B,T,NC,sc]
+        phase = jnp.exp(-1j * 2 * np.pi * f[None, None, None, None, :]
+                        * tau_sub[..., None])  # [B,T,NC,3,sc]
 
         def to_cfr(g):
-            # g[B,T,NC,sym,cols,ut] x phase[B,T,NC,sc]
-            return jnp.einsum("btcsmn,btcf->btsmnf", g, phase)
+            # g[B,T,3,NC,sym,cols,ut] x phase[B,T,NC,3,sc]
+            return jnp.einsum("btkcsmn,btckf->btsmnf", g, phase)
 
         h_p = to_cfr(g_p)  # [B,T,sym,cols,ut,sc]
         # add LOS on the first cluster's delay (tau[...,0])

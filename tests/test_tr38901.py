@@ -82,3 +82,83 @@ class TestUMi:
         h = np.asarray(ch(jax.random.PRNGKey(6), 256, 1, 1, 8, SCS))
         p_ant = (np.abs(h[:, :, 0, 0, 0]) ** 2).mean(axis=(0, 2))
         assert p_ant.std() / p_ant.mean() < 0.2
+
+
+class TestLSPCrossCorrelation:
+    """The (DS, ASA, ASD, K) LSPs must carry the Table 7.5-6
+    cross-correlations (SF rows dropped: shadow fading disabled)."""
+
+    def _corrs(self, scenario, state, n=60000):
+        ch = make(scenario)
+        ds, asa, asd, k_db = ch._lsp(jax.random.PRNGKey(7), state, (n,))
+        lds = np.log10(np.asarray(ds))
+        lasa = np.log10(np.asarray(asa))
+        lasd = np.log10(np.asarray(asd))
+        k = np.asarray(k_db)
+        c = lambda a, b: float(np.corrcoef(a, b)[0, 1])
+        return dict(ds_asa=c(lds, lasa), ds_asd=c(lds, lasd),
+                    ds_k=c(lds, k), asa_asd=c(lasa, lasd))
+
+    def test_umi_los(self):
+        # 104-deg angle clipping shaves the tails, so tolerances are
+        # loose for ASA/ASD pairs and tight for the unclipped DS-K pair
+        r = self._corrs("umi", "los")
+        assert abs(r["ds_k"] - (-0.7)) < 0.03
+        assert abs(r["ds_asa"] - 0.8) < 0.1
+        assert abs(r["ds_asd"] - 0.5) < 0.1
+        assert abs(r["asa_asd"] - 0.4) < 0.1
+
+    def test_umi_nlos(self):
+        r = self._corrs("umi", "nlos")
+        assert abs(r["ds_asa"] - 0.4) < 0.1
+        assert abs(r["ds_asd"]) < 0.05
+        assert abs(r["asa_asd"]) < 0.05
+
+    def test_uma_nlos(self):
+        r = self._corrs("uma", "nlos")
+        assert abs(r["ds_asa"] - 0.6) < 0.1
+        assert abs(r["ds_asd"] - 0.4) < 0.1
+        assert abs(r["asa_asd"] - 0.4) < 0.1
+
+
+class TestClusterSplit:
+    def test_zero_cds_identity(self):
+        """With c_DS forced to 0 the split path must reproduce the
+        unsplit channel exactly (validates the masked ray-subset
+        decomposition; both paths consume identical randomness)."""
+        ch_off = make(cluster_split=False)
+        ch_on = make()
+        for st in ("los", "nlos"):
+            ch_on.params[st] = dict(ch_on.params[st], c_ds_ns=0.0)
+        k = jax.random.PRNGKey(3)
+        h1 = np.asarray(ch_off(k, 4, 2, 14, 48, SCS))
+        h2 = np.asarray(ch_on(k, 4, 2, 14, 48, SCS))
+        np.testing.assert_allclose(h1, h2, rtol=1e-4, atol=1e-5)
+
+    def test_split_preserves_power(self):
+        """Splitting only moves sub-cluster delays; mean power over
+        drops/subcarriers must be statistically unchanged."""
+        k = jax.random.PRNGKey(11)
+        p1 = float(np.mean(np.abs(np.asarray(
+            make(cluster_split=False)(k, 32, 2, 14, 48, SCS))) ** 2))
+        p2 = float(np.mean(np.abs(np.asarray(
+            make()(k, 32, 2, 14, 48, SCS))) ** 2))
+        assert abs(p1 - p2) / p1 < 0.05
+
+    def test_split_increases_delay_spread(self):
+        """With a large forced c_DS the frequency decorrelation must
+        increase (sanity that split delays actually take effect)."""
+        def freq_corr(ch, key):
+            h = np.asarray(ch(key, 64, 1, 1, 128, SCS))[..., 0, :]
+            h0 = h[..., :-8]
+            h8 = h[..., 8:]
+            num = np.abs(np.mean(h0 * np.conj(h8)))
+            den = np.mean(np.abs(h0) ** 2)
+            return num / den
+        ch_big = make()
+        for st in ("los", "nlos"):
+            ch_big.params[st] = dict(ch_big.params[st], c_ds_ns=400.0)
+        k = jax.random.PRNGKey(5)
+        c_off = freq_corr(make(cluster_split=False), k)
+        c_big = freq_corr(ch_big, k)
+        assert c_big < c_off - 0.01
