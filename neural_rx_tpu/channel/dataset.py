@@ -25,7 +25,20 @@ import jax.numpy as jnp
 
 
 def load_cir_records(path: str):
-    """Load (a, tau) from .npz or .cirbin (native reader)."""
+    """Load (a, tau) from .npz or .cirbin (native reader).
+
+    Configs carry the reference's `.tfrecord` filenames verbatim
+    (utils/parameters.py:431-447); the stored artifact here is .cirbin
+    (or .npz), so a missing path falls back to the same basename with
+    those extensions.
+    """
+    import os
+    if not os.path.exists(path):
+        base = os.path.splitext(path)[0]
+        for ext in (".cirbin", ".npz"):
+            if os.path.exists(base + ext):
+                path = base + ext
+                break
     if path.endswith(".npz"):
         d = np.load(path)
         return np.asarray(d["a"], np.complex64), \

@@ -92,3 +92,34 @@ def generate_synthetic_cir_dataset(
                               * np.outer(ar, at)).astype(np.complex64)
     write_cirbin(path, a, tau)
     return pos
+
+
+# canonical synthetic site (stand-in for the reference's ray-traced
+# Munich scene): train/eval trajectories through one scatterer field
+SITE_BS_POSITION = [40.0, 30.0, 25.0]
+SITE_TRAIN_WAYPOINTS = [[0, 0, 1.5], [80, 0, 1.5], [80, 60, 1.5],
+                        [0, 60, 1.5]]
+SITE_EVAL_WAYPOINTS = [[-80.0, 40.0, 1.5], [20.0, -30.0, 1.5],
+                       [90.0, 60.0, 1.5]]
+
+
+def ensure_site_datasets(data_dir: str = "data", num_points: int = 200):
+    """Generate the site-specific train/eval .cirbin datasets if absent.
+
+    data/ is a generated-locally directory (like the reference's,
+    README.md:82-85); the site-specific configs and tests call this so
+    a fresh clone is self-sufficient without a ray tracer.
+    """
+    import os
+    os.makedirs(data_dir, exist_ok=True)
+    train = os.path.join(data_dir, "nrx_site_specific_train.cirbin")
+    if not os.path.exists(train):
+        generate_synthetic_cir_dataset(
+            train, SITE_TRAIN_WAYPOINTS, num_points,
+            bs_position=SITE_BS_POSITION, seed=0)
+    ev = os.path.join(data_dir, "nrx_site_specific_eval.cirbin")
+    if not os.path.exists(ev):
+        generate_synthetic_cir_dataset(
+            ev, SITE_EVAL_WAYPOINTS, num_points,
+            bs_position=SITE_BS_POSITION, seed=1)
+    return train, ev

@@ -13,6 +13,12 @@ import neural_rx_tpu.sim.config as cfg_mod
 ALL_CONFIGS = sorted(
     f[:-4] for f in os.listdir(cfg_mod.CONFIG_DIR) if f.endswith(".cfg"))
 
+# site-specific configs need the synthetic CIR datasets (data/ is a
+# generated-locally directory; this is cheap and deterministic)
+from neural_rx_tpu.sim.trajectory import ensure_site_datasets  # noqa: E402
+
+ensure_site_datasets()
+
 
 def test_all_17_configs_present():
     assert len(ALL_CONFIGS) == 17
@@ -31,10 +37,9 @@ def test_config_parses_dummy(name):
 
 @pytest.mark.parametrize("name", ALL_CONFIGS)
 def test_training_assembly_builds(name):
-    if "site_specific" in name:
-        ptmp = cfg_mod.Parameters(name, system="dummy", training=True)
-        if ptmp.channel_type == "Dataset":
-            pytest.skip("needs a generated CIR dataset")
+    # site-specific configs load the committed data/*.cirbin datasets
+    # (the cfg keeps the reference's .tfrecord names; the loader falls
+    # back to the .cirbin artifact with the same basename)
     p = cfg_mod.Parameters(name, system="nrx", training=True)
     assert len(p.transmitters) == len(p.mcs_index)
     assert p.transmitters[0].resource_grid.num_subcarriers \
@@ -70,3 +75,19 @@ def test_expected_parameter_counts():
     m8 = E2EModel(p8, training=True)
     params8 = m8.init_params(jax.random.PRNGKey(0))
     assert count_params(params8["cgnn"]) == 142922 + 6 * 49074
+
+def test_site_specific_e2e_forward():
+    """Full site-specific eval forward through the Dataset channel:
+    paired-trajectory subsampling -> CFR projection -> NRX chain."""
+    import jax
+    from neural_rx_tpu.sim.e2e import E2EModel
+    p = cfg_mod.Parameters("nrx_site_specific", system="nrx",
+                           training=False)
+    assert p.channel_type_name == "Dataset"
+    m = E2EModel(p, training=False)
+    params = m.init_params(jax.random.PRNGKey(0))
+    out = m(params, jax.random.PRNGKey(1), 2, np.float32(10.0),
+            num_it=p.num_nrx_iter_eval)
+    b, b_hat = out[0], out[1]
+    assert b.shape == b_hat.shape
+    assert np.isfinite(np.asarray(b_hat)).all()
