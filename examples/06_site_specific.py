@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neural_rx_tpu.sim.trajectory import (sample_along_trajectory,
-                                          generate_synthetic_cir_dataset)
+                                          ensure_site_datasets)
 from neural_rx_tpu.channel.dataset import DatasetChannel
 
 os.makedirs("data", exist_ok=True)
@@ -24,10 +24,8 @@ print(f"trajectory: {len(pos)} positions over "
 
 # 2. CIR dataset (ray tracing is external in the reference as well;
 #    synthetic geometry-consistent CIRs keep the pipeline runnable)
-path = "data/nrx_site_specific_train.cirbin"
-generate_synthetic_cir_dataset(path, waypoints, 200,
-                               bs_position=[40, 30, 25])
-print(f"dataset written: {path}")
+path, eval_path = ensure_site_datasets()
+print(f"datasets written: {path}, {eval_path}")
 
 # 3. Dataset channel draws (training partitions / eval pairing)
 ch = DatasetChannel(path, training=True, num_tx=2)

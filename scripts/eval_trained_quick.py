@@ -1,0 +1,78 @@
+"""Quick BLER eval of THIS framework's trained nrx_rt weights at a few
+Eb/No points (reference committed curve: 0.325 @ 2 dB, 0.0936 @ 3 dB,
+0.016 @ 4 dB, 1.4e-3 @ 5 dB; DoubleTDLlow, 2 UE, MCS 14, 132 PRB).
+
+Bounded Monte-Carlo (small targets) so it fits an end-of-round window;
+appends a JSON record per run to results/trained_progress.jsonl keyed by
+the checkpoint step, so successive training segments build a history.
+
+Usage: python scripts/eval_trained_quick.py [--snr 3 4] [--max-iter 10]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+REFERENCE_BLER = {2.0: 0.325, 3.0: 0.0936, 4.0: 0.016, 5.0: 1.4e-3}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--snr", type=float, nargs="*", default=[3.0, 4.0])
+    ap.add_argument("--batch", type=int, default=30)
+    ap.add_argument("--max-iter", type=int, default=10)
+    ap.add_argument("--target-errors", type=int, default=60)
+    ap.add_argument("--weights", default="weights/nrx_rt_weights.pkl")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import pickle
+
+    from neural_rx_tpu.sim.config import Parameters
+    from neural_rx_tpu.sim.e2e import E2EModel
+    from neural_rx_tpu.sim.simber import sim_ber
+    from neural_rx_tpu.sim.training import load_weights
+
+    step = None
+    ckpt = "weights/nrx_rt_ckpt.pkl"
+    if os.path.exists(ckpt):
+        with open(ckpt, "rb") as f:
+            step = pickle.load(f).get("step")
+
+    p = Parameters("nrx_rt", system="nrx", training=False)
+    p.nrx_dtype = jnp.float32
+    model = E2EModel(p, training=False)
+    params = load_weights(args.weights)
+    print(f"loaded {args.weights} (ckpt step {step})", flush=True)
+
+    t0 = time.time()
+    ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
+                        max_mc_iter=args.max_iter,
+                        num_target_block_errors=args.target_errors,
+                        num_it=p.num_nrx_iter_eval)
+    print("\nEb/No |   ours   | reference (10M iters)")
+    for e, b in zip(args.snr, bler):
+        ref = REFERENCE_BLER.get(float(e))
+        print(f"{e:5.1f} | {float(b):8.4f} | "
+              f"{ref if ref is not None else '-'}")
+
+    os.makedirs("results", exist_ok=True)
+    with open("results/trained_progress.jsonl", "a") as f:
+        f.write(json.dumps({
+            "step": step, "snr_db": [float(x) for x in args.snr],
+            "bler": [float(x) for x in bler],
+            "ber": [float(x) for x in ber],
+            "eval_s": round(time.time() - t0, 1)}) + "\n")
+    print("appended to results/trained_progress.jsonl", flush=True)
+
+
+if __name__ == "__main__":
+    main()
