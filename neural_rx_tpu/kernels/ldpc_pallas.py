@@ -13,11 +13,15 @@ This kernel keeps the entire decoder state in VMEM for all iterations:
 - The QC cyclic shifts are STATIC per edge, so each lifted-frame change
   is a single lane-rotate (`pltpu.roll`), not a gather.
 - Layered scheduling (check rows processed sequentially, APP updated in
-  place) converges in roughly half the iterations of flooding; with
-  normalized min-sum (alpha = 0.8125, same constant as the flooding
-  decoder's min-sum mode) 10 layered iterations match 20 flooding
-  boxplus iterations to within ~0.1 dB (statistical equivalence covered
-  by tests/test_ldpc_pallas.py).
+  place) with normalized min-sum (alpha = 0.8125, same constant as the
+  flooding decoder's min-sum mode). The default is the reference's 20
+  iterations: measured on the nrx_rt eval transport block (BG1, Z=384,
+  rate 0.54), 10 layered iterations are NOT enough (BLER 0.98 at an
+  Eb/No where both flooding-20 and layered-20 decode every block —
+  logs/ldpc_iter_sweep3.log); at 20 iterations the layered decoder
+  matches flooding BLER and is still ~4x faster end-to-end per
+  Monte-Carlo eval step (statistical equivalence covered by
+  tests/test_ldpc_pallas.py).
 
 The kernel is the fast eval path; `tb_decode` keeps the reference-
 faithful flooding boxplus as the default algorithm.
@@ -57,7 +61,7 @@ def _pad_lanes(z: int) -> int:
     return ((z + 127) // 128) * 128
 
 
-def make_decoder(code: LDPCCode, num_iter: int = 10,
+def make_decoder(code: LDPCCode, num_iter: int = 20,
                  interpret: bool = False):
     """Build a jittable layered min-sum decoder for one (bg, z) code.
 
@@ -150,7 +154,7 @@ def make_decoder(code: LDPCCode, num_iter: int = 10,
 
 
 def reference_layered_decode(code: LDPCCode, llr_ch: np.ndarray,
-                             num_iter: int = 10) -> np.ndarray:
+                             num_iter: int = 20) -> np.ndarray:
     """NumPy oracle of the exact layered min-sum schedule the pallas
     kernel implements (same update order, same first-minimum masking).
     llr_ch: [num_cols*Z] internal convention -> hard bits."""
@@ -182,7 +186,7 @@ def reference_layered_decode(code: LDPCCode, llr_ch: np.ndarray,
     return (app < 0).astype(np.float32).reshape(-1)
 
 
-def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 10,
+def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 20,
                    interpret: bool = False):
     """Drop-in fast variant of phy.nr.tb.tb_decode using the pallas
     layered decoder (same I/O contract; delegates the shared
