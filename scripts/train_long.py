@@ -21,6 +21,12 @@ def main():
     ap.add_argument("--seconds", type=float, default=3600)
     ap.add_argument("--weights-dir", default="weights")
     ap.add_argument("--log-dir", default="logs")
+    ap.add_argument("--warm-start-from", default=None,
+                    help="weights .pkl to initialize from when no "
+                         "checkpoint exists (e.g. UMi-trained nrx_rt "
+                         "weights for site-specific fine-tuning; "
+                         "reference flow: train_neural_rx.py warm "
+                         "start, train_neural_rx.py:96-101)")
     args = ap.parse_args()
 
     import jax
@@ -29,7 +35,8 @@ def main():
     from neural_rx_tpu.sim.e2e import E2EModel
     from neural_rx_tpu.sim.training import (make_chunk_step,
                                             save_checkpoint,
-                                            load_checkpoint, save_weights)
+                                            load_checkpoint, save_weights,
+                                            load_weights)
     import numpy as np
     import json
 
@@ -50,6 +57,10 @@ def main():
     if os.path.exists(ckpt_path):
         params, opt_state, step0 = load_checkpoint(ckpt_path)
         print(f"resumed from step {step0}", flush=True)
+    elif args.warm_start_from:
+        params = load_weights(args.warm_start_from)
+        opt_state = optimizer.init(params)
+        print(f"warm start from {args.warm_start_from}", flush=True)
 
     # find current phase
     acc = 0
