@@ -26,7 +26,11 @@ def main():
     ap.add_argument("--batch", type=int, default=30)
     ap.add_argument("--max-iter", type=int, default=10)
     ap.add_argument("--target-errors", type=int, default=60)
-    ap.add_argument("--weights", default="weights/nrx_rt_weights.pkl")
+    ap.add_argument("--weights", default=None,
+                    help="defaults to weights/{config}_weights.pkl")
+    ap.add_argument("--config", default="nrx_rt")
+    ap.add_argument("--num-tx", type=int, default=None)
+    ap.add_argument("--fast-ldpc", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -41,13 +45,18 @@ def main():
     from neural_rx_tpu.sim.simber import sim_ber
     from neural_rx_tpu.sim.training import load_weights
 
+    if args.weights is None:
+        args.weights = f"weights/{args.config}_weights.pkl"
     step = None
-    ckpt = "weights/nrx_rt_ckpt.pkl"
+    ckpt = f"weights/{args.config}_ckpt.pkl"
     if os.path.exists(ckpt):
         with open(ckpt, "rb") as f:
             step = pickle.load(f).get("step")
 
-    p = Parameters("nrx_rt", system="nrx", training=False)
+    kw = {}
+    if args.num_tx is not None:
+        kw["num_tx_eval"] = args.num_tx
+    p = Parameters(args.config, system="nrx", training=False, **kw)
     p.nrx_dtype = jnp.float32
     model = E2EModel(p, training=False)
     params = load_weights(args.weights)
@@ -57,7 +66,7 @@ def main():
     ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
                         max_mc_iter=args.max_iter,
                         num_target_block_errors=args.target_errors,
-                        num_it=p.num_nrx_iter_eval)
+                        num_it=p.num_nrx_iter_eval, fast_ldpc=args.fast_ldpc)
     print("\nEb/No |   ours   | reference (10M iters)")
     for e, b in zip(args.snr, bler):
         ref = REFERENCE_BLER.get(float(e))
@@ -67,7 +76,7 @@ def main():
     os.makedirs("results", exist_ok=True)
     with open("results/trained_progress.jsonl", "a") as f:
         f.write(json.dumps({
-            "step": step, "snr_db": [float(x) for x in args.snr],
+            "config": args.config, "step": step, "snr_db": [float(x) for x in args.snr],
             "bler": [float(x) for x in bler],
             "ber": [float(x) for x in ber],
             "eval_s": round(time.time() - t0, 1)}) + "\n")
