@@ -113,6 +113,62 @@ class LSChannelEstimator:
                            slot_idx, axis=0)
         return y_p[:, :, None, :] * inv[None, None]
 
+    def estimate_planar(self, y_planar: jnp.ndarray, slot_idx=None
+                        ) -> jnp.ndarray:
+        """TPU fast path: planar in, channels-last out, no complex dtype.
+
+        y_planar: [b, ant, 14, sc, 2] real (re/im last) ->
+        h_in: [b, num_tx, 14, sc, 2*ant] real with channel order
+        [re a0..aA, im a0..aA] — exactly the NRX h_in layout that
+        `__call__` + re/im stacking produces, but avoiding the complex
+        moveaxis/concat and the multi-index-dim gather (measured ~4x
+        cheaper at the 132-PRB batch-1 operating point). nn
+        interpolation only.
+        """
+        assert self.interpolation_type == "nn"
+        b, ant = y_planar.shape[0], y_planar.shape[1]
+        rg = self.rg
+        n_tx = rg.num_tx
+        n_sym, n_sc = rg.pilot_mask.shape
+        # LS at pilots, planar complex multiply
+        pf = jnp.asarray(self._pilot_flat_ind)
+        yf = y_planar.reshape(b, ant, n_sym * n_sc, 2)
+        y_p = jnp.take(yf, pf, axis=2)  # [b, ant, npil, 2]
+        if slot_idx is None:
+            inv = self._pilot_inv
+            invr = jnp.asarray(inv.real.astype(np.float32))
+            invi = jnp.asarray(inv.imag.astype(np.float32))
+        else:
+            bank_r = jnp.asarray(self._pilot_inv_bank.real.astype(
+                np.float32))
+            bank_i = jnp.asarray(self._pilot_inv_bank.imag.astype(
+                np.float32))
+            invr = jnp.take(bank_r, slot_idx, axis=0)
+            invi = jnp.take(bank_i, slot_idx, axis=0)
+        npil = y_p.shape[2]
+        hr = y_p[..., None, :, 0] * invr - y_p[..., None, :, 1] * invi
+        hi = y_p[..., None, :, 0] * invi + y_p[..., None, :, 1] * invr
+        h_pil = jnp.stack([hr, hi], axis=-1)  # [b, ant, tx, npil, 2]
+        if self.focc_removal:
+            part = self._focc_partner  # [tx, npil] static
+            flat_part = jnp.asarray(
+                (np.arange(n_tx)[:, None] * npil + part).ravel())
+            h2 = h_pil.reshape(b, ant, n_tx * npil, 2)
+            h_part = jnp.take(h2, flat_part, axis=2).reshape(h_pil.shape)
+            h_pil = 0.5 * (h_pil + h_part)
+        # channels-last BEFORE the grid interpolation (small transpose)
+        h_pil = jnp.moveaxis(h_pil, 1, -1)          # [b, tx, npil, 2, ant]
+        h_pil = h_pil.reshape(b, n_tx, npil, 2 * ant)
+        h_pil = jnp.moveaxis(h_pil, 2, -1)          # [b, tx, 2ant, npil]
+        # one static sc-trailing take per TX over the whole grid
+        gi = self._gather_ind  # [tx, 14, sc], values in [0, npil)
+        outs = [jnp.take(h_pil[:, t], jnp.asarray(gi[t].reshape(-1)),
+                         axis=-1)
+                for t in range(n_tx)]
+        h_grid = jnp.stack(outs, axis=1)            # [b, tx, 2ant, 14*sc]
+        h_grid = jnp.moveaxis(h_grid, 2, -1)
+        return h_grid.reshape(b, n_tx, n_sym, n_sc, 2 * ant)
+
     def __call__(self, y: jnp.ndarray, no, slot_idx=None
                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """y: [batch, num_rx_ant, 14, sc] -> (h_hat, err_var).

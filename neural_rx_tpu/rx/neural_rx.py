@@ -102,17 +102,26 @@ class NeuralPUSCHReceiver:
             flat = y.reshape(b, a, -1)
             flat = flat.at[..., self._pilot_flat].set(0.0)
             y = flat.reshape(y.shape)
-        # stack re/im along a trailing channel axis: [b, sym, sc, 2*ant]
-        y_in = jnp.concatenate(
-            [jnp.moveaxis(y.real, 1, -1), jnp.moveaxis(y.imag, 1, -1)],
-            axis=-1)
+        # planar fast path: one re/im stack, then everything real
+        # (avoids complex transposes + the multi-index-dim NN gather;
+        # ~0.3 ms/slot cheaper at 132 PRB batch 1)
+        b, ant = y.shape[0], y.shape[1]
+        y_pl = jnp.stack([y.real, y.imag], axis=-1)  # [b, ant, 14, sc, 2]
+        # [b, sym, sc, 2*ant], channel order [re a0.., im a0..] — same as
+        # concat([moveaxis(real), moveaxis(imag)], -1)
+        y_in = jnp.moveaxis(y_pl, 1, -1).reshape(
+            b, y.shape[2], y.shape[3], 2 * ant)
         h_in = None
         if self._ls is not None:
-            h_hat, _ = self._ls(y, _LS_FIXED_NO, slot_idx=slot_idx)
-            h_hat = h_hat[:, :, :self.max_num_tx]
-            h_in = jnp.concatenate(
-                [jnp.moveaxis(h_hat.real, 1, -1),
-                 jnp.moveaxis(h_hat.imag, 1, -1)], axis=-1)
+            if self._ls.interpolation_type == "nn":
+                h_in = self._ls.estimate_planar(y_pl, slot_idx=slot_idx)
+                h_in = h_in[:, :self.max_num_tx]
+            else:
+                h_hat, _ = self._ls(y, _LS_FIXED_NO, slot_idx=slot_idx)
+                h_hat = h_hat[:, :, :self.max_num_tx]
+                h_in = jnp.concatenate(
+                    [jnp.moveaxis(h_hat.real, 1, -1),
+                     jnp.moveaxis(h_hat.imag, 1, -1)], axis=-1)
             # [b, T, sym, sc, 2*ant]
         return y_in, h_in
 

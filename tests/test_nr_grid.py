@@ -167,6 +167,26 @@ class TestLSEstimator:
         h_eff = (hf[:, :, :, 0] + hf[:, :, :, 1]) / np.sqrt(2)
         assert np.allclose(np.asarray(h_hat), np.asarray(h_eff), atol=1e-4)
 
+    def test_estimate_planar_matches_complex_path(self):
+        """The TPU planar fast path must be numerically identical to the
+        complex __call__ + re/im channel stacking it replaces."""
+        rg = ResourceGrid(make_configs())
+        est = LSChannelEstimator(rg, "nn")
+        key = jax.random.PRNGKey(3)
+        y = (jax.random.normal(key, (2, 4, 14, 48))
+             + 1j * jax.random.normal(jax.random.PRNGKey(4), (2, 4, 14, 48))
+             ).astype(jnp.complex64)
+        y_pl = jnp.stack([y.real, y.imag], axis=-1)
+        for slot_idx in (None, jnp.asarray(5), jnp.asarray(11)):
+            h_hat, _ = est(y, 0.01, slot_idx=slot_idx)
+            want = jnp.concatenate(
+                [jnp.moveaxis(h_hat.real, 1, -1),
+                 jnp.moveaxis(h_hat.imag, 1, -1)], axis=-1)
+            got = est.estimate_planar(y_pl, slot_idx=slot_idx)
+            assert got.shape == want.shape
+            assert np.allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5), f"slot_idx={slot_idx}"
+
     def test_err_var_scaling(self):
         rg = ResourceGrid(make_configs())
         est = LSChannelEstimator(rg, "nn")
