@@ -27,6 +27,15 @@ def main():
                          "weights for site-specific fine-tuning; "
                          "reference flow: train_neural_rx.py warm "
                          "start, train_neural_rx.py:96-101)")
+    ap.add_argument("--lr-override", type=float, default=None,
+                    help="override the schedule's learning rate (e.g. "
+                         "a final annealed segment at 1e-4 when the "
+                         "full 10M-iteration budget is out of reach)")
+    ap.add_argument("--ckpt-name", default=None,
+                    help="checkpoint/weights basename (default: config "
+                         "label). Use a distinct name for experimental "
+                         "branches (lr anneals) so the main resumable "
+                         "checkpoint is untouched")
     args = ap.parse_args()
 
     import jax
@@ -45,12 +54,22 @@ def main():
     params = model.init_params(jax.random.PRNGKey(42))
 
     sched = p.training_schedule
-    ckpt_path = os.path.join(args.weights_dir, f"{p.label}_ckpt.pkl")
+    base = args.ckpt_name or p.label
+    ckpt_path = os.path.join(args.weights_dir, f"{base}_ckpt.pkl")
+    if args.ckpt_name and not os.path.exists(ckpt_path) \
+            and args.warm_start_from is None:
+        # branch: seed the experimental checkpoint from the main one
+        main_ckpt = os.path.join(args.weights_dir, f"{p.label}_ckpt.pkl")
+        if os.path.exists(main_ckpt):
+            import shutil
+            shutil.copy(main_ckpt, ckpt_path)
+            print(f"branched {ckpt_path} from {main_ckpt}", flush=True)
 
     # figure out phase boundaries
     iters_per_phase = [int(x) for x in sched["num_iter"]]
 
-    lr0 = float(sched["learning_rate"][0])
+    lr0 = (args.lr_override if args.lr_override is not None
+           else float(sched["learning_rate"][0]))
     optimizer = optax.adam(lr0)
     opt_state = optimizer.init(params)
     step0 = 0
@@ -74,7 +93,7 @@ def main():
         print("schedule complete")
         return
 
-    log_path = os.path.join(args.log_dir, f"{p.label}.jsonl")
+    log_path = os.path.join(args.log_dir, f"{base}.jsonl")
     os.makedirs(args.log_dir, exist_ok=True)
     log_f = open(log_path, "a")
 
@@ -92,7 +111,8 @@ def main():
         if phase is None:
             print("schedule complete", flush=True)
             break
-        lr = float(sched["learning_rate"][phase])
+        lr = (args.lr_override if args.lr_override is not None
+              else float(sched["learning_rate"][phase]))
         if lr != lr0:
             lr0 = lr
             optimizer = optax.adam(lr)
@@ -129,7 +149,7 @@ def main():
 
     save_checkpoint(ckpt_path, params, opt_state, total)
     save_weights(os.path.join(args.weights_dir,
-                              f"{p.label}_weights.pkl"), params)
+                              f"{base}_weights.pkl"), params)
     print(f"segment done at iter {total}", flush=True)
 
 
