@@ -36,6 +36,16 @@ def main():
                          "label). Use a distinct name for experimental "
                          "branches (lr anneals) so the main resumable "
                          "checkpoint is untouched")
+    ap.add_argument("--warm-start-partial", action="store_true",
+                    help="with --warm-start-from: copy only the leaves "
+                         "whose path+shape match the new model (cross-"
+                         "MCS transfer, e.g. nrx_rt -> nrx_rt_qpsk where "
+                         "only the LLR-readout head differs)")
+    ap.add_argument("--ema-decay", type=float, default=0.998,
+                    help="per-100-iteration-chunk Polyak/EMA decay for "
+                         "an averaged weight copy saved alongside the "
+                         "raw weights (window ~50k iters at the "
+                         "default); 0 disables")
     args = ap.parse_args()
 
     import jax
@@ -77,9 +87,28 @@ def main():
         params, opt_state, step0 = load_checkpoint(ckpt_path)
         print(f"resumed from step {step0}", flush=True)
     elif args.warm_start_from:
-        params = load_weights(args.warm_start_from)
+        src = load_weights(args.warm_start_from)
+        if args.warm_start_partial:
+            flat_src = {jax.tree_util.keystr(kp): v for kp, v in
+                        jax.tree_util.tree_flatten_with_path(src)[0]}
+            copied = skipped = 0
+
+            def pick(kp, v):
+                nonlocal copied, skipped
+                s = flat_src.get(jax.tree_util.keystr(kp))
+                if s is not None and np.shape(s) == np.shape(v):
+                    copied += 1
+                    return s
+                skipped += 1
+                return v
+            params = jax.tree_util.tree_map_with_path(pick, params)
+            print(f"partial warm start from {args.warm_start_from}: "
+                  f"{copied} leaves copied, {skipped} kept at init",
+                  flush=True)
+        else:
+            params = src
+            print(f"warm start from {args.warm_start_from}", flush=True)
         opt_state = optimizer.init(params)
-        print(f"warm start from {args.warm_start_from}", flush=True)
 
     # find current phase
     acc = 0
@@ -92,6 +121,19 @@ def main():
     else:
         print("schedule complete")
         return
+
+    # Polyak/EMA averaged copy (TPU-native extra over the reference's
+    # raw-weights saves, utils.py:34-50): averaged weights are usually
+    # worth a few tenths of a dB when the full 10M-iteration schedule
+    # is out of reach. Sidecar file, host-side numpy, updated per chunk.
+    ema_path = os.path.join(args.weights_dir, f"{base}_ema.pkl")
+    ema = None
+    if args.ema_decay > 0:
+        if os.path.exists(ema_path):
+            ema = jax.tree.map(np.asarray, load_weights(ema_path))
+            print(f"resumed EMA from {ema_path}", flush=True)
+        else:
+            ema = jax.tree.map(np.asarray, params)
 
     log_path = os.path.join(args.log_dir, f"{base}.jsonl")
     os.makedirs(args.log_dir, exist_ok=True)
@@ -136,6 +178,11 @@ def main():
             params, opt_state, (ld, lc, loss) = step_fn(params,
                                                         opt_state, sub)
             total += 100
+            if ema is not None:
+                d = args.ema_decay
+                new = jax.tree.map(np.asarray, params)
+                ema = jax.tree.map(
+                    lambda e, q: d * e + (1.0 - d) * q, ema, new)
             rec = {"phase": phase, "iter": total,
                    "loss_data": float(ld), "loss_chest": float(lc),
                    "loss": float(loss),
@@ -144,12 +191,18 @@ def main():
             log_f.flush()
             if total % 5000 == 0:
                 save_checkpoint(ckpt_path, params, opt_state, total)
+                if ema is not None:
+                    save_weights(ema_path, ema)
                 print(f"iter {total} loss {rec['loss']:.4f} "
                       f"({rec['iters_per_s']:.1f} it/s)", flush=True)
 
     save_checkpoint(ckpt_path, params, opt_state, total)
     save_weights(os.path.join(args.weights_dir,
                               f"{base}_weights.pkl"), params)
+    if ema is not None:
+        save_weights(ema_path, ema)
+        save_weights(os.path.join(args.weights_dir,
+                                  f"{base}_ema_weights.pkl"), ema)
     print(f"segment done at iter {total}", flush=True)
 
 
