@@ -190,6 +190,28 @@ def load_weights(path):
     return jax.tree.unflatten(d["treedef"], d["leaves"])
 
 
+def merge_matching_leaves(dst, src):
+    """Copy every leaf of `src` into `dst` whose tree path and shape both
+    match; keep `dst`'s leaf otherwise. Cross-config warm-start transfer
+    (e.g. nrx_rt -> nrx_rt_qpsk, where only the per-MCS LLR-readout head
+    differs; reference warm start is same-config only,
+    train_neural_rx.py:96-101). Returns (merged, copied, kept)."""
+    flat_src = {jax.tree_util.keystr(kp): v for kp, v in
+                jax.tree_util.tree_flatten_with_path(src)[0]}
+    copied = kept = 0
+
+    def pick(kp, v):
+        nonlocal copied, kept
+        s = flat_src.get(jax.tree_util.keystr(kp))
+        if s is not None and np.shape(s) == np.shape(v):
+            copied += 1
+            return s
+        kept += 1
+        return v
+
+    return jax.tree_util.tree_map_with_path(pick, dst), copied, kept
+
+
 def training_loop(model, sys_parameters, params, label: str,
                   mcs_arr_training_idx=None, seed: int = 42,
                   results_dir: str = "weights", log_dir: str = "logs",

@@ -30,6 +30,8 @@ def main():
                     help="defaults to weights/{config}_weights.pkl")
     ap.add_argument("--config", default="nrx_rt")
     ap.add_argument("--num-tx", type=int, default=None)
+    ap.add_argument("--mcs", type=int, default=0,
+                    help="mcs_arr_eval_idx (var-MCS configs: which head)")
     ap.add_argument("--fast-ldpc", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -66,6 +68,7 @@ def main():
     ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
                         max_mc_iter=args.max_iter,
                         num_target_block_errors=args.target_errors,
+                        mcs_arr_eval_idx=args.mcs,
                         num_it=p.num_nrx_iter_eval, fast_ldpc=args.fast_ldpc)
     print("\nEb/No |   ours   | reference (10M iters)")
     for e, b in zip(args.snr, bler):
@@ -76,7 +79,9 @@ def main():
     os.makedirs("results", exist_ok=True)
     with open("results/trained_progress.jsonl", "a") as f:
         f.write(json.dumps({
-            "config": args.config, "step": step, "snr_db": [float(x) for x in args.snr],
+            "config": args.config, "step": step, "mcs": args.mcs,
+            "weights": args.weights,
+            "snr_db": [float(x) for x in args.snr],
             "bler": [float(x) for x in bler],
             "ber": [float(x) for x in ber],
             "eval_s": round(time.time() - t0, 1)}) + "\n")

@@ -22,16 +22,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 def time_steps(step, params, batch, ebno, n_steps):
     import jax
     key = jax.random.PRNGKey(0)
+    import numpy as np
+
+    def sync(o):
+        # block_until_ready does not actually block through the axon
+        # tunnel; force a device->host transfer to time real compute
+        return [np.asarray(x) for x in o]
+
     t0 = time.time()
-    out = step(params, key, batch, ebno)
-    jax.block_until_ready(out)
+    out = sync(step(params, key, batch, ebno))
     compile_s = time.time() - t0
     times = []
     for i in range(n_steps):
         key = jax.random.fold_in(key, i)
         t0 = time.time()
-        out = step(params, key, batch, ebno)
-        jax.block_until_ready(out)
+        out = sync(step(params, key, batch, ebno))
         times.append(time.time() - t0)
     return compile_s, times, out
 

@@ -55,7 +55,8 @@ def main():
     from neural_rx_tpu.sim.training import (make_chunk_step,
                                             save_checkpoint,
                                             load_checkpoint, save_weights,
-                                            load_weights)
+                                            load_weights,
+                                            merge_matching_leaves)
     import numpy as np
     import json
 
@@ -89,21 +90,9 @@ def main():
     elif args.warm_start_from:
         src = load_weights(args.warm_start_from)
         if args.warm_start_partial:
-            flat_src = {jax.tree_util.keystr(kp): v for kp, v in
-                        jax.tree_util.tree_flatten_with_path(src)[0]}
-            copied = skipped = 0
-
-            def pick(kp, v):
-                nonlocal copied, skipped
-                s = flat_src.get(jax.tree_util.keystr(kp))
-                if s is not None and np.shape(s) == np.shape(v):
-                    copied += 1
-                    return s
-                skipped += 1
-                return v
-            params = jax.tree_util.tree_map_with_path(pick, params)
+            params, copied, kept = merge_matching_leaves(params, src)
             print(f"partial warm start from {args.warm_start_from}: "
-                  f"{copied} leaves copied, {skipped} kept at init",
+                  f"{copied} leaves copied, {kept} kept at init",
                   flush=True)
         else:
             params = src
