@@ -6,7 +6,15 @@ LLR readout) at the reference's real-time operating point: batch 1,
 bf16 compute — the same scope as the reference's TensorRT fp16 engine
 (BASELINE.md: mean 1.275 ms GPU compute on RTX 3090, ~1 ms target).
 
-Prints ONE JSON line: p50 per-slot latency with vs_baseline =
+Timing through the axon TPU tunnel is subtle: `block_until_ready` does
+NOT block (measured: an 19 s eval step "completes" in <1 ms), so every
+measurement here forces a real device->host transfer. The headline
+number is the *serialized device execution time per slot*, measured with
+a data-dependency chain (`lax.scan` where slot i+1's input depends on
+slot i's LLRs, so nothing can pipeline) — the direct analog of trtexec's
+"GPU compute time" that the 1.275 ms baseline reports.
+
+Prints ONE JSON line: p50 per-slot device time with vs_baseline =
 baseline_ms / ours_ms (speedup factor, >1 is faster than baseline).
 """
 
@@ -22,42 +30,55 @@ BASELINE_MS = 1.275  # reference nrx_rt TRT fp16 median GPU compute time
 
 def main():
     import __graft_entry__ as g
+    from neural_rx_tpu.utils.profiling import (chained_device_time_ms,
+                                               tunnel_rtt_ms)
     fn, (params, y_example) = g.entry()
-    fn_j = jax.jit(fn)
 
-    # compile
+    # single-slot scalar-output fn: full compute, 4-byte transfer
+    fn_scalar = jax.jit(
+        lambda p, y: jnp.sum(fn(p, y).astype(jnp.float32)))
+
     t0 = time.time()
-    out = fn_j(params, y_example)
-    jax.block_until_ready(out)
+    np.asarray(fn_scalar(params, y_example))
     compile_s = time.time() - t0
 
-    # single-dispatch latency (block every call): true per-slot latency
-    lat = []
+    # tunnel round-trip floor: dispatch + tiny transfer of a trivial jit
+    rtt_ms = tunnel_rtt_ms()
+
+    # serialized device time per slot (trtexec "GPU compute" analog)
+    dev_ms = chained_device_time_ms(lambda y: fn(params, y), y_example)
+
+    # single-dispatch latency incl tunnel round trip (upper bound)
+    disp = []
     for _ in range(100):
         t0 = time.perf_counter()
-        out = fn_j(params, y_example)
-        jax.block_until_ready(out)
-        lat.append(time.perf_counter() - t0)
-    lat_ms = np.asarray(lat) * 1e3
-    p50 = float(np.percentile(lat_ms, 50))
-    p99 = float(np.percentile(lat_ms, 99))
+        np.asarray(fn_scalar(params, y_example))
+        disp.append(time.perf_counter() - t0)
+    disp_ms = np.asarray(disp) * 1e3
+    disp_p50 = float(np.percentile(disp_ms, 50))
+    disp_p99 = float(np.percentile(disp_ms, 99))
 
-    # pipelined throughput (dispatch ahead, block once)
+    # pipelined throughput: dispatch ahead, sync once on the last output
     n = 200
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn_j(params, y_example)
-    jax.block_until_ready(out)
+    for _ in range(n - 1):
+        fn_scalar(params, y_example)
+    np.asarray(fn_scalar(params, y_example))
     slots_per_s = n / (time.perf_counter() - t0)
 
     print(json.dumps({
-        "metric": "nrx_rt_slot_latency_p50_132prb_b1",
-        "value": round(p50, 4), "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / p50, 2),
-        "extra": {"p99_ms": round(p99, 4),
-                  "slots_per_s_pipelined": round(slots_per_s, 1),
-                  "compile_s": round(compile_s, 1),
-                  "baseline": "RTX3090 TRT fp16 1.275 ms median"},
+        "metric": "nrx_rt_slot_device_time_p50_132prb_b1",
+        "value": round(dev_ms, 4), "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / dev_ms, 2),
+        "extra": {
+            "dispatch_sync_p50_ms": round(disp_p50, 4),
+            "dispatch_sync_p99_ms": round(disp_p99, 4),
+            "tunnel_rtt_ms": round(rtt_ms, 4),
+            "slots_per_s_pipelined": round(slots_per_s, 1),
+            "compile_s": round(compile_s, 1),
+            "baseline": "RTX3090 TRT fp16 1.275 ms median GPU compute",
+            "method": "data-dependency-chained lax.scan (no pipelining)",
+        },
     }))
 
 

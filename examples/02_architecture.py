@@ -34,10 +34,10 @@ for num_it in (1, 2, 4, 8):
     f = jax.jit(lambda p_, y_, h_: cgnn_apply(
         p_, cfg, y_, pe, h_, jnp.ones((1, 2)), jnp.ones((1, 2, 1)),
         num_it=num_it)[0][-1][0])
-    out = f(params, y, h); jax.block_until_ready(out)
+    np.asarray(f(params, y, h))  # host sync (tunnel-safe)
     t0 = time.perf_counter()
     for _ in range(5):
         out = f(params, y, h)
-    jax.block_until_ready(out)
+    np.asarray(out)
     print(f"num_it={num_it}: {(time.perf_counter()-t0)/5*1e3:.2f} ms "
           f"(CPU, 4 PRB demo)")

@@ -57,20 +57,22 @@ class BucketedReceiver:
 
 
 def measure_latency(compiled, params, inputs, iters: int = 100):
-    """p50/p99 single-dispatch latency + pipelined throughput."""
-    out = compiled(params, *inputs)
-    jax.block_until_ready(out)
+    """p50/p99 single-dispatch latency + pipelined throughput.
+
+    Syncs with device->host transfers: block_until_ready does not block
+    through remote-device tunnels (see utils/profiling.py)."""
+    from ..utils.profiling import force_sync
+    force_sync(compiled(params, *inputs))
     lat = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = compiled(params, *inputs)
-        jax.block_until_ready(out)
+        force_sync(compiled(params, *inputs))
         lat.append(time.perf_counter() - t0)
     lat_ms = np.asarray(lat) * 1e3
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(params, *inputs)
-    jax.block_until_ready(out)
+    for _ in range(iters - 1):
+        compiled(params, *inputs)
+    force_sync(compiled(params, *inputs))
     thr = iters / (time.perf_counter() - t0)
     return {"p50_ms": float(np.percentile(lat_ms, 50)),
             "p99_ms": float(np.percentile(lat_ms, 99)),

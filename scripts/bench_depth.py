@@ -1,8 +1,9 @@
 """Latency vs CGNN depth (reference nrx_architecture.ipynb cell 32).
 
-Measures p50 single-dispatch per-slot latency of the deployed receiver
-surface for num_it = 1..8 on the nrx_large architecture at the real-time
-operating point (132 PRB, 14 symbols, 4 rx ant, 2 UE, batch 1, bf16).
+Measures serialized per-slot device execution time of the deployed
+receiver surface for num_it = 1..8 on the nrx_large architecture at the
+real-time operating point (132 PRB, 14 symbols, 4 rx ant, 2 UE, batch 1,
+bf16), via a data-dependency chain (see utils/profiling.py).
 Reference numbers (A100, TRT): 0.61/0.96/1.32/1.67/2.05/2.41/2.77/3.11
 ms median for depth 1..8 (SURVEY.md §6.1).
 
@@ -71,18 +72,16 @@ def main():
                                  num_it=depth, dtype=jnp.bfloat16)
             return llrs[-1][0]
 
-        fn_j = jax.jit(fn)
+        from neural_rx_tpu.utils.profiling import chained_device_time_ms
         t0 = time.time()
-        out = fn_j(params, y_example)
-        jax.block_until_ready(out)
+        np.asarray(jax.jit(lambda pr, y: jnp.mean(
+            fn(pr, y).astype(jnp.float32)))(params, y_example))
         compile_s = time.time() - t0
-        lat = []
-        for _ in range(args.reps):
-            t0 = time.perf_counter()
-            out = fn_j(params, y_example)
-            jax.block_until_ready(out)
-            lat.append(time.perf_counter() - t0)
-        p50 = float(np.percentile(np.asarray(lat) * 1e3, 50))
+        # serialized device time (trtexec "GPU compute" analog; plain
+        # block_until_ready does not block through the axon tunnel)
+        p50 = chained_device_time_ms(lambda y: fn(params, y), y_example,
+                                     length=50,
+                                     reps=max(3, args.reps // 10))
         ref = REFERENCE_MS.get(depth)
         results[depth] = p50
         print(f"depth {depth}: p50 {p50:.3f} ms (compile {compile_s:.0f}s)"

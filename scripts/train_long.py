@@ -167,8 +167,11 @@ def main():
             params, opt_state, (ld, lc, loss) = step_fn(params,
                                                         opt_state, sub)
             total += 100
-            if ema is not None:
-                d = args.ema_decay
+            # every 5th chunk: device->host pulls through the axon
+            # tunnel are ~per-leaf round trips, so per-chunk EMA costs
+            # real throughput; decay^5 keeps the same averaging window
+            if ema is not None and total % 500 == 0:
+                d = args.ema_decay ** 5
                 new = jax.tree.map(np.asarray, params)
                 ema = jax.tree.map(
                     lambda e, q: d * e + (1.0 - d) * q, ema, new)
