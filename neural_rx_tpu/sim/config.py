@@ -57,7 +57,8 @@ class Parameters:
 
     def __init__(self, config_name: str, system: str = "nrx",
                  training: bool = False, num_tx_eval: int | None = None,
-                 config_dir: str | None = None):
+                 config_dir: str | None = None,
+                 overrides: dict | None = None):
         if not config_name.endswith(".cfg"):
             config_name += ".cfg"
         path = os.path.join(config_dir or CONFIG_DIR, config_name)
@@ -79,6 +80,14 @@ class Parameters:
                 ev = name + "_eval"
                 if hasattr(self, ev):
                     setattr(self, name, getattr(self, ev))
+
+        # caller overrides (applied before any component is built), e.g.
+        # channel_type for the reference's 1-UE-on-TDL eval slices
+        # (reference nrx_rt config comments / evaluate.py:174-180)
+        for key, value in (overrides or {}).items():
+            if not hasattr(self, key):
+                raise KeyError(f"unknown Parameters override: {key}")
+            setattr(self, key, value)
 
         if not hasattr(self, "mcs_var_mcs_masking"):
             self.mcs_var_mcs_masking = False

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--num-tx", type=int, default=None)
     ap.add_argument("--mcs", type=int, default=0,
                     help="mcs_arr_eval_idx (var-MCS configs: which head)")
+    ap.add_argument("--channel", default=None,
+                    help="override eval channel_type (e.g. TDLB100 for "
+                         "the reference's 1-UE slices; DoubleTDL* needs "
+                         "2 UEs)")
     ap.add_argument("--fast-ldpc", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -58,6 +62,8 @@ def main():
     kw = {}
     if args.num_tx is not None:
         kw["num_tx_eval"] = args.num_tx
+    if args.channel is not None:
+        kw["overrides"] = {"channel_type": args.channel}
     p = Parameters(args.config, system="nrx", training=False, **kw)
     p.nrx_dtype = jnp.float32
     model = E2EModel(p, training=False)
@@ -80,7 +86,8 @@ def main():
     with open("results/trained_progress.jsonl", "a") as f:
         f.write(json.dumps({
             "config": args.config, "step": step, "mcs": args.mcs,
-            "weights": args.weights,
+            "weights": args.weights, "channel": p.channel_type_name,
+            "num_tx": p.max_num_tx,
             "snr_db": [float(x) for x in args.snr],
             "bler": [float(x) for x in bler],
             "ber": [float(x) for x in ber],
