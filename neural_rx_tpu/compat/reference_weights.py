@@ -93,10 +93,27 @@ def import_reference_weights(params: dict, weight_list) -> dict:
 
 
 def load_reference_weights(path: str, params: dict) -> dict:
-    """Load a reference weights pickle and map it onto `params`."""
+    """Load a reference weights pickle and map it onto `params`.
+
+    e2e configs (custom_constellation=True) store the trainable
+    constellation(s) first — the transmitters are created before the
+    receiver (reference parameters.py:242-261), so Keras get_weights()
+    lists their [2, 2^m] re/im point tensors ahead of the CGNN arrays."""
     with open(path, "rb") as f:
         wl = pickle.load(f)
-    return {"cgnn": import_reference_weights(params["cgnn"], wl)}
+    out = {}
+    if "constellation" in params:
+        n = len(params["constellation"])
+        con = []
+        for ref, ours in zip(wl[:n], params["constellation"]):
+            ref = np.asarray(ref)
+            assert ref.shape == tuple(np.shape(ours)), (
+                f"constellation shape {ref.shape} != {np.shape(ours)}")
+            con.append(jnp.asarray(ref))
+        out["constellation"] = con
+        wl = wl[n:]
+    out["cgnn"] = import_reference_weights(params["cgnn"], wl)
+    return out
 
 
 # ---------------------------------------------------------------------------
