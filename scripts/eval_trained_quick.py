@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--target-errors", type=int, default=60)
     ap.add_argument("--weights", default=None,
                     help="defaults to weights/{config}_weights.pkl")
+    ap.add_argument("--ref-weights", default=None,
+                    help="import a reference get_weights() pickle "
+                         "(e.g. /root/reference/weights/nrx_large_weights) "
+                         "instead of --weights")
     ap.add_argument("--config", default="nrx_rt")
     ap.add_argument("--num-tx", type=int, default=None)
     ap.add_argument("--mcs", type=int, default=0,
@@ -67,8 +71,17 @@ def main():
     p = Parameters(args.config, system="nrx", training=False, **kw)
     p.nrx_dtype = jnp.float32
     model = E2EModel(p, training=False)
-    params = load_weights(args.weights)
-    print(f"loaded {args.weights} (ckpt step {step})", flush=True)
+    if args.ref_weights:
+        from neural_rx_tpu.compat.reference_weights import (
+            load_reference_weights)
+        params = model.init_params(jax.random.PRNGKey(0))
+        params = load_reference_weights(args.ref_weights, params)
+        args.weights = args.ref_weights
+        step = "reference"
+        print(f"imported reference weights {args.ref_weights}", flush=True)
+    else:
+        params = load_weights(args.weights)
+        print(f"loaded {args.weights} (ckpt step {step})", flush=True)
 
     t0 = time.time()
     ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,

@@ -28,4 +28,14 @@ run 1800 python scripts/profile_eval.py --systems kbest perf_csi_kbest \
 run 1500 python scripts/eval_trained_quick.py --fast-ldpc \
     --config nrx_rt_qpsk --num-tx 1 --channel TDL-B100 --snr 0 1
 
+# 5) imported-reference-weight parity anchors on configs beyond nrx_rt
+#    (reference committed curves: nrx_large 0.150@2dB / 0.0327@3dB,
+#    e2e_rt 0.0731@2dB / 0.0078@3dB)
+run 2400 python scripts/eval_trained_quick.py --fast-ldpc \
+    --config nrx_large \
+    --ref-weights /root/reference/weights/nrx_large_weights --snr 2 3
+run 2400 python scripts/eval_trained_quick.py --fast-ldpc \
+    --config e2e_rt \
+    --ref-weights /root/reference/weights/e2e_rt_weights --snr 2 3
+
 echo "ROUND_END_BENCH DONE $(date -u '+%F %H:%M:%S')" >> "$LOG"
