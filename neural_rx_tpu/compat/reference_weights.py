@@ -145,9 +145,16 @@ def _dump_mlp(p, out):
 
 
 def export_reference_weights(params: dict) -> list:
-    """CGNN param pytree -> reference-ordered get_weights() list."""
+    """CGNN param pytree -> reference-ordered get_weights() list.
+
+    For e2e configs (trainable constellation) the constellation point
+    tensors lead the list, matching Keras creation order (transmitters
+    before receiver, reference parameters.py:242-261)."""
     cg = params["cgnn"] if "cgnn" in params else params
     out: list = []
+    if isinstance(params, dict) and "constellation" in params:
+        for c in params["constellation"]:
+            out.append(np.asarray(c))
     for p in cg["s_init"]:
         _dump_conv_stack(p, out)
     for it in cg["iterations"]:

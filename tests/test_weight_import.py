@@ -88,3 +88,24 @@ class TestImporter:
         assert np.isfinite(out).all()
         # trained weights should produce confident (non-tiny) LLRs
         assert np.abs(out).mean() > 0.5
+
+
+def test_e2e_constellation_roundtrip(tmp_path):
+    """e2e configs: trainable constellation leads the reference list
+    (Keras creation order); export -> import is exact."""
+    import jax
+    import numpy as np
+    from neural_rx_tpu.sim.config import Parameters
+    from neural_rx_tpu.sim.e2e import E2EModel
+    from neural_rx_tpu.compat.reference_weights import (
+        save_reference_weights, load_reference_weights)
+
+    p = Parameters("e2e_rt", system="nrx", training=True)
+    m = E2EModel(p, training=True)
+    params = m.init_params(jax.random.PRNGKey(3))
+    path = str(tmp_path / "e2e_rt_weights")
+    save_reference_weights(path, params)
+    back = load_reference_weights(path, params)
+    assert set(back) == {"cgnn", "constellation"}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
