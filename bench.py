@@ -66,6 +66,13 @@ def main():
     np.asarray(fn_scalar(params, y_example))
     slots_per_s = n / (time.perf_counter() - t0)
 
+    # batched serving throughput (slots/s/chip at batch 16): chained so
+    # nothing pipelines across calls; batch parallelism only
+    yb = jnp.tile(y_example, (16, 1, 1, 1, 1))
+    dev_b16_ms = chained_device_time_ms(lambda y: fn(params, y), yb,
+                                        length=50, reps=5)
+    slots_per_s_b16 = 16.0 / (dev_b16_ms * 1e-3)
+
     print(json.dumps({
         "metric": "nrx_rt_slot_device_time_p50_132prb_b1",
         "value": round(dev_ms, 4), "unit": "ms",
@@ -75,6 +82,8 @@ def main():
             "dispatch_sync_p99_ms": round(disp_p99, 4),
             "tunnel_rtt_ms": round(rtt_ms, 4),
             "slots_per_s_pipelined": round(slots_per_s, 1),
+            "batch16_device_ms_per_call": round(dev_b16_ms, 4),
+            "slots_per_s_batch16": round(slots_per_s_b16, 1),
             "compile_s": round(compile_s, 1),
             "baseline": "RTX3090 TRT fp16 1.275 ms median GPU compute",
             "method": "data-dependency-chained lax.scan (no pipelining)",
