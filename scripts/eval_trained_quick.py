@@ -79,6 +79,13 @@ def main():
         args.weights = args.ref_weights
         step = "reference"
         print(f"imported reference weights {args.ref_weights}", flush=True)
+    elif not os.path.exists(args.weights) and os.path.exists(ckpt):
+        # segment was killed before its end-of-segment weight save
+        # (watchdog / wall clock): evaluate the checkpoint params
+        from neural_rx_tpu.sim.training import load_checkpoint
+        params, _, step = load_checkpoint(ckpt)
+        print(f"weights file missing; using checkpoint at step {step}",
+              flush=True)
     else:
         params = load_weights(args.weights)
         print(f"loaded {args.weights} (ckpt step {step})", flush=True)
