@@ -1,0 +1,215 @@
+"""Fused separable-conv stack as a single Pallas TPU kernel.
+
+The CGNN's hot path is a stack of 3x3 separable convs over the resource
+grid (reference StateInit/UpdateState, neural_rx.py:61-132/210-270).
+The XLA path (`rx/cgnn.py:_apply_conv_stack`) emits one depthwise conv,
+one pointwise matmul and an elementwise epilogue per layer, with the
+inter-layer activations round-tripping through HBM. This kernel keeps
+the whole stack's activations resident in VMEM:
+
+- depthwise 3x3 ("SAME", cross-correlation like XLA) as 9 masked
+  roll-multiply-accumulates on the VPU, f32 accumulation;
+- pointwise as an MXU matmul over [H*W, C] with f32 accumulation;
+- bias + ReLU epilogues fused in-register;
+- grid over the batch axis, one slot's grid per step (at the real-time
+  shape 14x1584 the bf16 activations are ~5.7 MB/layer — the 3-layer
+  stack fits VMEM; wider shapes need the W-blocked variant, round 2).
+
+Activations enter and leave in the caller's dtype (bf16 on TPU); all
+accumulation is f32, matching the XLA conv/dot defaults.
+
+Enable via CGNNConfig(fused_convs=True) (rx/cgnn.py); default remains
+the XLA path until the kernel is profiled on hardware.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _dw3x3(x, dw):
+    """Depthwise 3x3 SAME cross-correlation. x: [H, W, C]; dw: [3,3,C].
+    Returns f32 [H, W, C]."""
+    h, w = x.shape[0], x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = jnp.zeros(x.shape, jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            # y[i,j] += x[i+dy, j+dx] * k[dy+1, dx+1]  (zero outside)
+            shifted = jnp.roll(x, (-dy, -dx), (0, 1)).astype(jnp.float32)
+            valid = ((row + dy >= 0) & (row + dy < h) &
+                     (col + dx >= 0) & (col + dx < w))
+            kvec = dw[dy + 1, dx + 1].astype(jnp.float32)
+            acc = acc + jnp.where(valid, shifted, 0.0) * kvec[None, None, :]
+    return acc
+
+
+def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
+    """refs: (dw, pw, b) per layer (hidden... then out), then out_ref."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    x = x_ref[0]
+    n_layers = n_hidden + 1
+    for li in range(n_layers):
+        dw = wrefs[3 * li][:]      # [3, 3, C]
+        pw = wrefs[3 * li + 1][:]  # [C, O]
+        b = wrefs[3 * li + 2][:]   # [O]
+        acc = _dw3x3(x, dw)        # [H, W, C] f32
+        h, w, c = acc.shape
+        y = jax.lax.dot_general(
+            acc.reshape(h * w, c), pw.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + b.astype(jnp.float32)[None, :]
+        if li < n_hidden:
+            y = jnp.maximum(y, 0.0)
+        x = y.reshape(h, w, -1).astype(out_dtype)
+    out_ref[0] = x
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_conv_stack(p, x, interpret: bool | None = None):
+    """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
+    hidden layer, linear output layer. x: [N, H, W, C_in].
+
+    interpret=None auto-selects pallas interpret mode off-TPU (CPU runs
+    of the fused path, e.g. tests and the virtual-mesh dryrun)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    layers = list(p["hidden"]) + [p["out"]]
+    n, h, w, _ = x.shape
+    c_out = layers[-1]["pw"].shape[1]
+    dtype = x.dtype
+
+    ops = []
+    specs = []
+    for lp in layers:
+        dw = lp["dw"][:, :, 0, :].astype(dtype)   # [3,3,C]
+        pw = lp["pw"].astype(dtype)
+        b = lp["b"].astype(dtype)
+        for a in (dw, pw, b):
+            ops.append(a)
+            specs.append(pl.BlockSpec(a.shape,
+                                      lambda i, _s=a.shape: (0,) * len(_s),
+                                      memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, h, w, x.shape[-1]),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)] + specs,
+        out_specs=pl.BlockSpec((1, h, w, c_out), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), dtype),
+        interpret=interpret,
+    )(x, *ops)
+
+
+# ---------------------------------------------------------------------------
+# W-blocked variant: for wide grids (e.g. 273 PRB = 3276 subcarriers)
+# where whole-grid residency would blow VMEM. Overlap-save: the host pads
+# the subcarrier axis by `halo = n_layers` zeros per side, each grid step
+# DMAs an extended [H, w_blk + 2*halo, C] window from HBM into VMEM
+# scratch, runs the whole stack, and writes back the core w_blk columns.
+# Buffer-edge columns corrupted by the rolls fall inside the discarded
+# halo; the true grid edges see the host's zero padding — identical
+# "SAME" semantics to the XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _stack_kernel_blocked(n_hidden, halo, w_blk, w_true, out_dtype,
+                          x_hbm, *refs):
+    out_ref = refs[-3]
+    xbuf = refs[-2]
+    sem = refs[-1]
+    wrefs = refs[:-3]
+    n = pl.program_id(0)
+    wb = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, :, pl.ds(wb * w_blk, w_blk + 2 * halo), :],
+        xbuf, sem)
+    dma.start()
+    dma.wait()
+
+    x = xbuf[:]
+    # true-grid column of each buffer column; out-of-grid columns must
+    # be re-zeroed before EVERY layer (the pointwise bias + ReLU makes
+    # them non-zero after one layer, while "SAME" semantics pad with
+    # zeros at each layer)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1), 1)
+           + wb * w_blk - halo)
+    in_grid = (col >= 0) & (col < w_true)  # [1, W_ext, 1], any C
+    for li in range(n_hidden + 1):
+        x = jnp.where(in_grid, x, 0).astype(x.dtype)
+        dw = wrefs[3 * li][:]
+        pw = wrefs[3 * li + 1][:]
+        b = wrefs[3 * li + 2][:]
+        acc = _dw3x3(x, dw)
+        h, w, c = acc.shape
+        y = jax.lax.dot_general(
+            acc.reshape(h * w, c), pw.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + b.astype(jnp.float32)[None, :]
+        if li < n_hidden:
+            y = jnp.maximum(y, 0.0)
+        x = y.reshape(h, w, -1).astype(out_dtype)
+    out_ref[0] = x[:, halo:halo + w_blk, :]
+
+
+@functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))
+def fused_conv_stack_blocked(p, x, w_blk: int = 512,
+                             interpret: bool | None = None):
+    """W-blocked `fused_conv_stack` for wide grids. x: [N, H, W, C_in];
+    W is padded up to a multiple of w_blk internally (zero columns, then
+    cropped), so any subcarrier count works."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    layers = list(p["hidden"]) + [p["out"]]
+    halo = len(layers)
+    n, h, w, c_in = x.shape
+    c_out = layers[-1]["pw"].shape[1]
+    dtype = x.dtype
+
+    n_wb = -(-w // w_blk)
+    w_pad = n_wb * w_blk
+    # halo zeros (true-edge SAME padding) + round-up-to-block columns
+    x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + w_pad - w), (0, 0)))
+
+    ops, specs = [], []
+    for lp in layers:
+        dw = lp["dw"][:, :, 0, :].astype(dtype)
+        pw = lp["pw"].astype(dtype)
+        b = lp["b"].astype(dtype)
+        for a in (dw, pw, b):
+            ops.append(a)
+            specs.append(pl.BlockSpec(
+                a.shape, lambda i, j, _s=a.shape: (0,) * len(_s),
+                memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
+                               halo, w_blk, w, dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, n_wb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + specs,
+        out_specs=pl.BlockSpec((1, h, w_blk, c_out),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w_pad, c_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, w_blk + 2 * halo, c_in), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x_ext, *ops)
+    return out[:, :, :w, :]

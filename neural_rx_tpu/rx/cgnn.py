@@ -106,7 +106,11 @@ def _apply_conv(p, x):
     return y + p["b"].astype(x.dtype)
 
 
-def _apply_conv_stack(p, x, layer_type):
+def _apply_conv_stack(p, x, layer_type, fused: bool = False):
+    if fused and layer_type == "sepconv":
+        # single pallas kernel, activations stay in VMEM (kernels/)
+        from ..kernels.sepconv_pallas import fused_conv_stack
+        return fused_conv_stack(p, x)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
     for lp in p["hidden"]:
         x = jax.nn.relu(f(lp, x))
@@ -138,6 +142,7 @@ class CGNNConfig:
     layer_type_conv: str = "sepconv"
     var_mcs_masking: bool = False
     initial_chest: bool = True  # h_hat input present
+    fused_convs: bool = False   # pallas fused sepconv stacks (kernels/)
 
     @property
     def num_mcs(self):
@@ -206,13 +211,13 @@ def _aggregate_user_states(p, s, active_tx, dtype):
     return a * scale
 
 
-def _update_state(p, s, a, pe, layer_type):
+def _update_state(p, s, a, pe, layer_type, fused: bool = False):
     """Conv state update with residual skip (reference :210-270)."""
     b, t = s.shape[0], s.shape[1]
     pe_b = jnp.broadcast_to(pe[None], (b,) + pe.shape)
     z = jnp.concatenate([a, s, pe_b], axis=-1)
     z = z.reshape((b * t,) + z.shape[2:])
-    z = _apply_conv_stack(p, z, layer_type)
+    z = _apply_conv_stack(p, z, layer_type, fused)
     return z.reshape((b, t) + z.shape[1:]) + s
 
 
@@ -251,7 +256,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     z0_flat = z0.reshape((b * t,) + z0.shape[2:])
 
     def run_init(p):
-        s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv)
+        s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,
+                              cfg.fused_convs)
         return s.reshape((b, t) + s.shape[1:])
 
     if cfg.var_mcs_masking:
@@ -267,7 +273,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     for i in range(num_it):
         it_p = params["iterations"][i]
         a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
-        s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv)
+        s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv,
+                          cfg.fused_convs)
         if (training and apply_multiloss) or i == num_it - 1:
             per_mcs = []
             for idx in range(cfg.num_mcs):

@@ -39,7 +39,8 @@ class NeuralPUSCHReceiver:
                  var_mcs_masking: bool = False,
                  initial_chest: str | None = "ls",
                  mask_pilots: bool = False,
-                 nrx_dtype=jnp.float32):
+                 nrx_dtype=jnp.float32,
+                 fused_convs: bool = False):
         self.transmitters = list(transmitters)  # one per MCS
         self.rg = self.transmitters[0].resource_grid
         self.num_rx_ant = num_rx_ant
@@ -59,7 +60,8 @@ class NeuralPUSCHReceiver:
             num_units_readout=tuple(num_units_readout),
             layer_type_conv=layer_type_conv,
             var_mcs_masking=var_mcs_masking,
-            initial_chest=initial_chest is not None)
+            initial_chest=initial_chest is not None,
+            fused_convs=fused_convs)
 
         # Positional encoding from the configured slot's DMRS positions
         slot = self.rg.configs[0].carrier.slot_number

@@ -1,0 +1,69 @@
+"""Fused sepconv-stack pallas kernel vs the XLA reference path
+(interpret mode on CPU; numeric parity in f32)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_rx_tpu.rx.cgnn import _init_conv_stack, _apply_conv_stack
+from neural_rx_tpu.kernels.sepconv_pallas import fused_conv_stack
+
+
+@pytest.mark.parametrize("shape,cin,hidden,cout", [
+    ((2, 14, 48, 18), 18, [128, 128], 56),   # nrx_rt state-init stack
+    ((1, 14, 48, 114), 114, [128, 128], 56),  # nrx_rt update stack
+    ((3, 7, 36, 10), 10, [32], 8),            # odd sizes
+])
+def test_matches_xla_stack(shape, cin, hidden, cout):
+    key = jax.random.PRNGKey(0)
+    p = _init_conv_stack(key, cin, hidden, cout, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(1), shape, jnp.float32)
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack(p, x, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_relu_only_on_hidden_layers():
+    # output layer is linear: negative values must survive
+    p = _init_conv_stack(jax.random.PRNGKey(2), 6, [16], 4, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 24, 6))
+    got = np.asarray(fused_conv_stack(p, x, interpret=True))
+    assert (got < 0).any()
+
+
+def test_cgnn_apply_fused_matches_default():
+    """Full CGNN forward with fused_convs=True (interpret via CPU
+    pallas) equals the XLA path."""
+    import dataclasses
+    from neural_rx_tpu.rx.cgnn import (CGNNConfig, init_cgnn_params,
+                                       cgnn_apply)
+
+    cfg = CGNNConfig(num_bits_per_symbol=(4,), num_rx_ant=4, num_it=2,
+                     d_s=24, num_units_init=(32,), num_units_agg=((16,),) * 2,
+                     num_units_state=((32,),) * 2, num_units_readout=(16,))
+    params = init_cgnn_params(jax.random.PRNGKey(0), cfg)
+    b, t, sym, sc = 2, 2, 14, 48
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, sym, sc, 8))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (t, sym, sc, 2))
+    h = jax.random.normal(jax.random.PRNGKey(3), (b, t, sym, sc, 8))
+    act = jnp.ones((b, t))
+    mm = jnp.ones((b, t, 1))
+    want, _ = cgnn_apply(params, cfg, y, pe, h, act, mm)
+    cfg_f = dataclasses.replace(cfg, fused_convs=True)
+    got, _ = cgnn_apply(params, cfg_f, y, pe, h, act, mm)
+    np.testing.assert_allclose(np.asarray(got[-1][0]),
+                               np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("w,w_blk", [(3276, 512), (1584, 512), (100, 64)])
+def test_blocked_matches_xla(w, w_blk):
+    """W-blocked overlap-save variant == XLA at wide/odd widths."""
+    from neural_rx_tpu.kernels.sepconv_pallas import fused_conv_stack_blocked
+    p = _init_conv_stack(jax.random.PRNGKey(4), 12, [16, 16], 8, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 14, w, 12), jnp.float32)
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack_blocked(p, x, w_blk=w_blk,
+                                              interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
