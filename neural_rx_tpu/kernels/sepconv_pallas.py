@@ -125,45 +125,60 @@ def fused_conv_stack(p, x, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _stack_kernel_blocked(n_hidden, halo, w_blk, w_true, out_dtype,
-                          x_hbm, *refs):
+def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb, w_true,
+                          out_dtype, x_hbm, *refs):
+    """Grid over batch; W-blocks loop inside with double-buffered input
+    DMA (guide pattern: prefetch block wb+1 while computing wb)."""
     out_ref = refs[-3]
-    xbuf = refs[-2]
-    sem = refs[-1]
+    xbuf = refs[-2]      # [2, H, w_blk + 2*halo, C_in]
+    sem = refs[-1]       # DMA semaphores, shape (2,)
     wrefs = refs[:-3]
     n = pl.program_id(0)
-    wb = pl.program_id(1)
+    w_ext = w_blk + 2 * halo
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, :, pl.ds(wb * w_blk, w_blk + 2 * halo), :],
-        xbuf, sem)
-    dma.start()
-    dma.wait()
+    def get_dma(slot, wb):
+        return pltpu.make_async_copy(
+            x_hbm.at[n, :, pl.ds(wb * w_blk, w_ext), :],
+            xbuf.at[slot], sem.at[slot])
 
-    x = xbuf[:]
-    # true-grid column of each buffer column; out-of-grid columns must
-    # be re-zeroed before EVERY layer (the pointwise bias + ReLU makes
-    # them non-zero after one layer, while "SAME" semantics pad with
-    # zeros at each layer)
-    col = (jax.lax.broadcasted_iota(jnp.int32, (1, x.shape[1], 1), 1)
-           + wb * w_blk - halo)
-    in_grid = (col >= 0) & (col < w_true)  # [1, W_ext, 1], any C
-    for li in range(n_hidden + 1):
-        x = jnp.where(in_grid, x, 0).astype(x.dtype)
-        dw = wrefs[3 * li][:]
-        pw = wrefs[3 * li + 1][:]
-        b = wrefs[3 * li + 2][:]
-        acc = _dw3x3(x, dw)
-        h, w, c = acc.shape
-        y = jax.lax.dot_general(
-            acc.reshape(h * w, c), pw.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = y + b.astype(jnp.float32)[None, :]
-        if li < n_hidden:
-            y = jnp.maximum(y, 0.0)
-        x = y.reshape(h, w, -1).astype(out_dtype)
-    out_ref[0] = x[:, halo:halo + w_blk, :]
+    get_dma(0, 0).start()
+
+    def wb_body(wb, _):
+        slot = jax.lax.rem(wb, 2)
+
+        @pl.when(wb + 1 < n_wb)
+        def _():
+            get_dma(jax.lax.rem(wb + 1, 2), wb + 1).start()
+
+        get_dma(slot, wb).wait()
+        x = xbuf[slot]
+        # true-grid column of each buffer column; out-of-grid columns
+        # must be re-zeroed before EVERY layer (the pointwise bias +
+        # ReLU makes them non-zero after one layer, while "SAME"
+        # semantics pad with zeros at each layer)
+        col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
+               + wb * w_blk - halo)
+        in_grid = (col >= 0) & (col < w_true)
+        for li in range(n_hidden + 1):
+            x = jnp.where(in_grid, x, 0).astype(x.dtype)
+            dw = wrefs[3 * li][:]
+            pw = wrefs[3 * li + 1][:]
+            b = wrefs[3 * li + 2][:]
+            acc = _dw3x3(x, dw)
+            h, w, c = acc.shape
+            y = jax.lax.dot_general(
+                acc.reshape(h * w, c), pw.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = y + b.astype(jnp.float32)[None, :]
+            if li < n_hidden:
+                y = jnp.maximum(y, 0.0)
+            x = y.reshape(h, w, -1).astype(out_dtype)
+        out_ref[0, :, pl.ds(wb * w_blk, w_blk), :] = (
+            x[:, halo:halo + w_blk, :])
+        return _
+
+    jax.lax.fori_loop(0, n_wb, wb_body, None)
 
 
 @functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))
@@ -193,22 +208,22 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
         for a in (dw, pw, b):
             ops.append(a)
             specs.append(pl.BlockSpec(
-                a.shape, lambda i, j, _s=a.shape: (0,) * len(_s),
+                a.shape, lambda i, _s=a.shape: (0,) * len(_s),
                 memory_space=pltpu.VMEM))
 
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
-                               halo, w_blk, w, dtype)
+                               halo, w_blk, n_wb, w, dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(n, n_wb),
+        grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + specs,
-        out_specs=pl.BlockSpec((1, h, w_blk, c_out),
-                               lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, h, w_pad, c_out),
+                               lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w_pad, c_out), dtype),
         scratch_shapes=[
-            pltpu.VMEM((h, w_blk + 2 * halo, c_in), dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, h, w_blk + 2 * halo, c_in), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(x_ext, *ops)
