@@ -62,12 +62,17 @@ def _pad_lanes(z: int) -> int:
 
 
 def make_decoder(code: LDPCCode, num_iter: int = 20,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
     """Build a jittable layered min-sum decoder for one (bg, z) code.
 
     Returns fn(llr_ch [batch, num_cols*Z] internal-convention
     log(p0/p1)) -> hard bits [batch, num_cols*Z].
-    """
+
+    interpret=None auto-selects pallas interpret mode off-TPU so the
+    fast path also runs on CPU (tests, debug)."""
+    import jax
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     z = code.z
     assert z % 128 == 0, (
         "pallas layered decoder supports lifting sizes that are lane "
@@ -187,7 +192,7 @@ def reference_layered_decode(code: LDPCCode, llr_ch: np.ndarray,
 
 
 def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 20,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """Drop-in fast variant of phy.nr.tb.tb_decode using the pallas
     layered decoder (same I/O contract; delegates the shared
     descramble/rate-recover/CRC scaffolding to tb_decode). Falls back to

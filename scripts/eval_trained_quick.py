@@ -102,6 +102,17 @@ def main():
         print(f"{e:5.1f} | {float(b):8.4f} | "
               f"{ref if ref is not None else '-'}")
 
+    # goodput (info bits per RE; reference utils.py:430-486) — for
+    # pilotless e2e configs the DMRS REs don't count against the RE
+    # budget, which is the pilotless headline gain
+    from neural_rx_tpu.sim.metrics import calculate_goodput
+    rg = p.transmitters[args.mcs].resource_grid
+    tbs = p.transmitters[args.mcs].tb_size
+    gp = calculate_goodput(
+        [float(b) for b in bler], tbs, rg.num_resource_elements,
+        num_pilots=rg.num_pilot_symbols,
+        include_pilots=not p.mask_pilots)
+
     os.makedirs("results", exist_ok=True)
     with open("results/trained_progress.jsonl", "a") as f:
         f.write(json.dumps({
@@ -111,6 +122,7 @@ def main():
             "snr_db": [float(x) for x in args.snr],
             "bler": [float(x) for x in bler],
             "ber": [float(x) for x in ber],
+            "goodput_bits_per_re": [round(float(g), 4) for g in gp],
             "eval_s": round(time.time() - t0, 1)}) + "\n")
     print("appended to results/trained_progress.jsonl", flush=True)
 
