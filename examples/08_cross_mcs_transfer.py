@@ -1,0 +1,46 @@
+"""Cross-MCS transfer: reuse a trained backbone for a new MCS.
+
+The CGNN's state-init convs, aggregation MLPs, update convs and chest
+readout are MCS-agnostic; only the LLR-readout head's output width is
+num_bits_per_symbol. `merge_matching_leaves` copies every leaf whose
+path+shape match, so a 16QAM-trained nrx_rt backbone warm-starts a QPSK
+or 64QAM receiver with just the head re-initialized (41 of 43 arrays
+transfer). Round-1 measurement: 188k warm-started iterations reached
+2-UE 132-PRB BLER 0.008 @ 2 dB on QPSK, 259k reached 0.013 @ 8 dB on
+64QAM (results/trained_progress.jsonl).
+
+This goes beyond the reference's same-config warm start
+(train_neural_rx.py:96-101).
+"""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from neural_rx_tpu.sim.config import Parameters
+from neural_rx_tpu.sim.e2e import E2EModel
+from neural_rx_tpu.sim.training import (merge_matching_leaves,
+                                        load_weights)
+
+
+def init(cfg):
+    p = Parameters(cfg, system="nrx", training=True)
+    return E2EModel(p, training=True).init_params(jax.random.PRNGKey(0))
+
+
+# source: the trained 16QAM nrx_rt weights if present, else a fresh tree
+src_path = os.path.join(os.path.dirname(__file__), "..",
+                        "weights", "nrx_rt_weights.pkl")
+src = (load_weights(src_path) if os.path.exists(src_path)
+       else init("nrx_rt"))
+
+for target in ("nrx_rt_qpsk", "nrx_rt_64qam", "nrx_rt_var_mcs"):
+    dst = init(target)
+    merged, copied, kept = merge_matching_leaves(dst, src)
+    print(f"nrx_rt -> {target:16s}: {copied} leaves transferred, "
+          f"{kept} re-initialized (LLR heads)")
+
+print("\ntrain the target config from the merged tree with:\n"
+      "  python scripts/train_long.py --config nrx_rt_qpsk "
+      "--warm-start-from weights/nrx_rt_weights.pkl --warm-start-partial")
