@@ -55,7 +55,7 @@ def time_fn(fn, *args, iters: int = 50, warmup: int = 3):
     call with a full device->host transfer of the output. Includes the
     link round trip + output transfer; for pure device execution time
     use `chained_device_time_ms`."""
-    for _ in range(warmup):
+    for _ in range(max(warmup, 1)):
         out = fn(*args)
     force_sync(out)
     lat = []

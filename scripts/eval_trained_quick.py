@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--mcs", type=int, default=0,
                     help="mcs_arr_eval_idx (var-MCS configs: which head)")
     ap.add_argument("--channel", default=None,
-                    help="override eval channel_type (e.g. TDLB100 for "
+                    help="override eval channel_type (e.g. TDL-B100 for "
                          "the reference's 1-UE slices; DoubleTDL* needs "
                          "2 UEs)")
     ap.add_argument("--fast-ldpc", action="store_true")
@@ -55,11 +55,14 @@ def main():
     from neural_rx_tpu.sim.simber import sim_ber
     from neural_rx_tpu.sim.training import load_weights
 
-    if args.weights is None:
+    default_weights = args.weights is None
+    if default_weights:
         args.weights = f"weights/{args.config}_weights.pkl"
     step = None
     ckpt = f"weights/{args.config}_ckpt.pkl"
-    if os.path.exists(ckpt):
+    if default_weights and os.path.exists(ckpt):
+        # step only describes the default lineage; --weights/--ref-
+        # weights point at other lineages (EMA, anneal branches)
         with open(ckpt, "rb") as f:
             step = pickle.load(f).get("step")
 
@@ -79,7 +82,8 @@ def main():
         args.weights = args.ref_weights
         step = "reference"
         print(f"imported reference weights {args.ref_weights}", flush=True)
-    elif not os.path.exists(args.weights) and os.path.exists(ckpt):
+    elif default_weights and not os.path.exists(args.weights) \
+            and os.path.exists(ckpt):
         # segment was killed before its end-of-segment weight save
         # (watchdog / wall clock): evaluate the checkpoint params
         from neural_rx_tpu.sim.training import load_checkpoint

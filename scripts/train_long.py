@@ -41,6 +41,8 @@ def main():
                          "whose path+shape match the new model (cross-"
                          "MCS transfer, e.g. nrx_rt -> nrx_rt_qpsk where "
                          "only the LLR-readout head differs)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (debug/smoke)")
     ap.add_argument("--ema-decay", type=float, default=0.998,
                     help="per-100-iteration-chunk Polyak/EMA decay for "
                          "an averaged weight copy saved alongside the "
@@ -49,6 +51,8 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import optax
     from neural_rx_tpu.sim.config import Parameters
     from neural_rx_tpu.sim.e2e import E2EModel
@@ -79,14 +83,32 @@ def main():
     # figure out phase boundaries
     iters_per_phase = [int(x) for x in sched["num_iter"]]
 
+    def phase_of(step):
+        acc = 0
+        for i, ni in enumerate(iters_per_phase):
+            if step < acc + ni:
+                return i
+            acc += ni
+        return None
+
+    step0 = 0
+    resume = os.path.exists(ckpt_path)
+    if resume:
+        with open(ckpt_path, "rb") as f:
+            import pickle
+            step0 = pickle.load(f)["step"]
+    start_phase = phase_of(step0)
+    if start_phase is None:
+        print("schedule complete")
+        return
     lr0 = (args.lr_override if args.lr_override is not None
-           else float(sched["learning_rate"][0]))
+           else float(sched["learning_rate"][start_phase]))
     optimizer = optax.adam(lr0)
     opt_state = optimizer.init(params)
-    step0 = 0
-    if os.path.exists(ckpt_path):
+    if resume:
         params, opt_state, step0 = load_checkpoint(ckpt_path)
-        print(f"resumed from step {step0}", flush=True)
+        print(f"resumed from step {step0} (phase {start_phase}, "
+              f"lr {lr0})", flush=True)
     elif args.warm_start_from:
         src = load_weights(args.warm_start_from)
         if args.warm_start_partial:
@@ -98,18 +120,6 @@ def main():
             params = src
             print(f"warm start from {args.warm_start_from}", flush=True)
         opt_state = optimizer.init(params)
-
-    # find current phase
-    acc = 0
-    phase = 0
-    for i, n in enumerate(iters_per_phase):
-        if step0 < acc + n:
-            phase = i
-            break
-        acc += n
-    else:
-        print("schedule complete")
-        return
 
     # Polyak/EMA averaged copy (TPU-native extra over the reference's
     # raw-weights saves, utils.py:34-50): averaged weights are usually
@@ -132,22 +142,19 @@ def main():
     total = step0
     while time.time() < t_end:
         # phase bookkeeping
-        acc = 0
-        phase = None
-        for i, n in enumerate(iters_per_phase):
-            if total < acc + n:
-                phase = i
-                break
-            acc += n
+        phase = phase_of(total)
+        acc = sum(iters_per_phase[:phase]) if phase is not None else 0
         if phase is None:
             print("schedule complete", flush=True)
             break
         lr = (args.lr_override if args.lr_override is not None
               else float(sched["learning_rate"][phase]))
         if lr != lr0:
+            # optax.adam's state is lr-independent: rebuild the
+            # transform, KEEP the moments (reference semantics —
+            # one Adam across the whole schedule, utils.py:228)
             lr0 = lr
             optimizer = optax.adam(lr)
-            opt_state = optimizer.init(params)
         step_fn = make_chunk_step(
             model, p, optimizer, list(range(len(p.mcs_index))),
             int(sched["batch_size"][phase]),

@@ -24,7 +24,7 @@ run 6600 python scripts/train_long.py --config nrx_rt_qpsk --seconds 5400 \
     --warm-start-from "$NRX_RT" --warm-start-partial
 run 1500 python scripts/eval_trained_quick.py --fast-ldpc --config nrx_rt_qpsk --snr 2 3
 run 1500 python scripts/eval_trained_quick.py --fast-ldpc --config nrx_rt_qpsk \
-    --num-tx 1 --snr 0 1
+    --num-tx 1 --channel TDL-B100 --snr 0 1
 
 # 2) 64QAM (MCS 19): 6-bit LLR head re-inits
 run 6600 python scripts/train_long.py --config nrx_rt_64qam --seconds 5400 \

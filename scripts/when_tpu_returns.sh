@@ -17,7 +17,9 @@ print('ok')" 2>/dev/null | grep -q ok
 
 run() {
   local t="$1"; shift
-  [ "$(date +%s)" -ge "$DEADLINE" ] && return 1
+  local left=$(( DEADLINE - $(date +%s) ))
+  [ "$left" -le 0 ] && return 1
+  [ "$t" -gt "$left" ] && t="$left"   # never run past the deadline
   echo "=== $(date -u '+%F %H:%M:%S') [timeout ${t}s] $*" >> "$LOG"
   timeout "$t" "$@" >> "$LOG" 2>&1
   echo "--- exit $? at $(date -u '+%F %H:%M:%S')" >> "$LOG"
