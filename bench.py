@@ -28,10 +28,40 @@ import jax.numpy as jnp
 BASELINE_MS = 1.275  # reference nrx_rt TRT fp16 median GPU compute time
 
 
+def _assert_device_reachable(timeout_s: int = 180):
+    """The axon tunnel can die silently: clients block forever inside a
+    native RPC (signals don't interrupt it), so probe in a killable
+    subprocess and turn a dead link into a diagnostic JSON line instead
+    of a hang."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import numpy, jax, jax.numpy as jnp;"
+             "numpy.asarray(jax.jit(lambda x: x + 1.0)(jnp.float32(1)));"
+             "print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True)
+        if "ok" not in r.stdout:
+            raise TimeoutError(r.stderr[-200:])
+    except subprocess.TimeoutExpired:
+        raise TimeoutError("device probe timed out") from None
+
+
 def main():
     import __graft_entry__ as g
     from neural_rx_tpu.utils.profiling import (chained_device_time_ms,
                                                tunnel_rtt_ms)
+    try:
+        _assert_device_reachable()
+    except TimeoutError:
+        print(json.dumps({
+            "metric": "nrx_rt_slot_device_time_p50_132prb_b1",
+            "value": None, "unit": "ms", "vs_baseline": None,
+            "extra": {"error": "device link unreachable (axon tunnel "
+                               "down; it died mid-round, see STATUS.md)"},
+        }))
+        return
     fn, (params, y_example) = g.entry()
 
     # single-slot scalar-output fn: full compute, 4-byte transfer
