@@ -50,16 +50,19 @@ def _dw3x3(x, dw):
     return acc
 
 
-def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
-    """refs: (dw, pw, b) per layer (hidden... then out), then out_ref."""
-    out_ref = refs[-1]
-    wrefs = refs[:-1]
-    x = x_ref[0]
-    n_layers = n_hidden + 1
-    for li in range(n_layers):
-        dw = wrefs[3 * li][:]      # [3, 3, C]
-        pw = wrefs[3 * li + 1][:]  # [C, O]
-        b = wrefs[3 * li + 2][:]   # [O]
+def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None):
+    """Shared layer loop: depthwise (VPU) -> pointwise (MXU) -> bias,
+    ReLU on hidden layers. wrefs: (dw [3,3,C], pw [C,O], b [O]) per
+    layer. in_grid ([1, W, 1] bool or None): out-of-grid columns to
+    re-zero before EVERY layer (blocked variant; the pointwise bias +
+    ReLU makes padding non-zero after one layer, while "SAME" semantics
+    pad with zeros at each layer)."""
+    for li in range(n_hidden + 1):
+        if in_grid is not None:
+            x = jnp.where(in_grid, x, 0).astype(x.dtype)
+        dw = wrefs[3 * li][:]
+        pw = wrefs[3 * li + 1][:]
+        b = wrefs[3 * li + 2][:]
         acc = _dw3x3(x, dw)        # [H, W, C] f32
         h, w, c = acc.shape
         y = jax.lax.dot_general(
@@ -70,7 +73,26 @@ def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
         if li < n_hidden:
             y = jnp.maximum(y, 0.0)
         x = y.reshape(h, w, -1).astype(out_dtype)
-    out_ref[0] = x
+    return x
+
+
+def _flatten_weights(layers, dtype):
+    """Per-layer (dw, pw, b) arrays + whole-array VMEM BlockSpecs."""
+    ops, specs = [], []
+    for lp in layers:
+        for a in (lp["dw"][:, :, 0, :].astype(dtype),
+                  lp["pw"].astype(dtype), lp["b"].astype(dtype)):
+            ops.append(a)
+            specs.append(pl.BlockSpec(
+                a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                memory_space=pltpu.VMEM))
+    return ops, specs
+
+
+def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
+    """refs: (dw, pw, b) per layer (hidden... then out), then out_ref."""
+    out_ref = refs[-1]
+    out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -87,18 +109,7 @@ def fused_conv_stack(p, x, interpret: bool | None = None):
     c_out = layers[-1]["pw"].shape[1]
     dtype = x.dtype
 
-    ops = []
-    specs = []
-    for lp in layers:
-        dw = lp["dw"][:, :, 0, :].astype(dtype)   # [3,3,C]
-        pw = lp["pw"].astype(dtype)
-        b = lp["b"].astype(dtype)
-        for a in (dw, pw, b):
-            ops.append(a)
-            specs.append(pl.BlockSpec(a.shape,
-                                      lambda i, _s=a.shape: (0,) * len(_s),
-                                      memory_space=pltpu.VMEM))
-
+    ops, specs = _flatten_weights(layers, dtype)
     kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype)
     return pl.pallas_call(
         kernel,
@@ -151,29 +162,12 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb, w_true,
             get_dma(jax.lax.rem(wb + 1, 2), wb + 1).start()
 
         get_dma(slot, wb).wait()
-        x = xbuf[slot]
-        # true-grid column of each buffer column; out-of-grid columns
-        # must be re-zeroed before EVERY layer (the pointwise bias +
-        # ReLU makes them non-zero after one layer, while "SAME"
-        # semantics pad with zeros at each layer)
+        # true-grid column of each buffer column (for per-layer pad
+        # re-zeroing in _run_stack)
         col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
                + wb * w_blk - halo)
-        in_grid = (col >= 0) & (col < w_true)
-        for li in range(n_hidden + 1):
-            x = jnp.where(in_grid, x, 0).astype(x.dtype)
-            dw = wrefs[3 * li][:]
-            pw = wrefs[3 * li + 1][:]
-            b = wrefs[3 * li + 2][:]
-            acc = _dw3x3(x, dw)
-            h, w, c = acc.shape
-            y = jax.lax.dot_general(
-                acc.reshape(h * w, c), pw.astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            y = y + b.astype(jnp.float32)[None, :]
-            if li < n_hidden:
-                y = jnp.maximum(y, 0.0)
-            x = y.reshape(h, w, -1).astype(out_dtype)
+        x = _run_stack(xbuf[slot], wrefs, n_hidden, out_dtype,
+                       in_grid=(col >= 0) & (col < w_true))
         out_ref[0, :, pl.ds(wb * w_blk, w_blk), :] = (
             x[:, halo:halo + w_blk, :])
         return _
@@ -200,17 +194,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
     # halo zeros (true-edge SAME padding) + round-up-to-block columns
     x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + w_pad - w), (0, 0)))
 
-    ops, specs = [], []
-    for lp in layers:
-        dw = lp["dw"][:, :, 0, :].astype(dtype)
-        pw = lp["pw"].astype(dtype)
-        b = lp["b"].astype(dtype)
-        for a in (dw, pw, b):
-            ops.append(a)
-            specs.append(pl.BlockSpec(
-                a.shape, lambda i, _s=a.shape: (0,) * len(_s),
-                memory_space=pltpu.VMEM))
-
+    ops, specs = _flatten_weights(layers, dtype)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
                                halo, w_blk, n_wb, w, dtype)
     out = pl.pallas_call(

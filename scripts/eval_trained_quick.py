@@ -60,11 +60,6 @@ def main():
         args.weights = f"weights/{args.config}_weights.pkl"
     step = None
     ckpt = f"weights/{args.config}_ckpt.pkl"
-    if default_weights and os.path.exists(ckpt):
-        # step only describes the default lineage; --weights/--ref-
-        # weights point at other lineages (EMA, anneal branches)
-        with open(ckpt, "rb") as f:
-            step = pickle.load(f).get("step")
 
     kw = {}
     if args.num_tx is not None:
@@ -92,6 +87,11 @@ def main():
               flush=True)
     else:
         params = load_weights(args.weights)
+        if default_weights and os.path.exists(ckpt):
+            # step only describes the default lineage; --weights/--ref-
+            # weights point at other lineages (EMA, anneal branches)
+            with open(ckpt, "rb") as f:
+                step = pickle.load(f).get("step")
         print(f"loaded {args.weights} (ckpt step {step})", flush=True)
 
     t0 = time.time()

@@ -92,11 +92,10 @@ def main():
         return None
 
     step0 = 0
-    resume = os.path.exists(ckpt_path)
-    if resume:
-        with open(ckpt_path, "rb") as f:
-            import pickle
-            step0 = pickle.load(f)["step"]
+    ckpt = None
+    if os.path.exists(ckpt_path):
+        ckpt = load_checkpoint(ckpt_path)
+        step0 = ckpt[2]
     start_phase = phase_of(step0)
     if start_phase is None:
         print("schedule complete")
@@ -104,9 +103,8 @@ def main():
     lr0 = (args.lr_override if args.lr_override is not None
            else float(sched["learning_rate"][start_phase]))
     optimizer = optax.adam(lr0)
-    opt_state = optimizer.init(params)
-    if resume:
-        params, opt_state, step0 = load_checkpoint(ckpt_path)
+    if ckpt is not None:
+        params, opt_state, step0 = ckpt
         print(f"resumed from step {step0} (phase {start_phase}, "
               f"lr {lr0})", flush=True)
     elif args.warm_start_from:
@@ -119,6 +117,8 @@ def main():
         else:
             params = src
             print(f"warm start from {args.warm_start_from}", flush=True)
+        opt_state = optimizer.init(params)
+    else:
         opt_state = optimizer.init(params)
 
     # Polyak/EMA averaged copy (TPU-native extra over the reference's
