@@ -15,7 +15,6 @@ import time
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 
 DEFAULT_PRB_BUCKETS = (4, 16, 32, 64, 132, 273)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from . import crc as crc_mod
 from .ldpc import get_code, encode as ldpc_encode, decode as ldpc_decode
-from .ldpc_tables import select_base_graph, select_lifting_size, BG_PARAMS
+from .ldpc_tables import select_base_graph, select_lifting_size
 from .rate_match import rate_match, rate_recover, cb_bit_allocation
 from .sequences import pusch_scrambling_sequence
 
