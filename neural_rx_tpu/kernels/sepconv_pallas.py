@@ -95,13 +95,27 @@ def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
     out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_conv_stack(p, x, interpret: bool | None = None):
     """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
     hidden layer, linear output layer. x: [N, H, W, C_in].
 
+    Dispatches to the W-blocked overlap-save variant when the
+    whole-grid VMEM working set would be too large (wide grids, f32).
+
     interpret=None auto-selects pallas interpret mode off-TPU (CPU runs
     of the fused path, e.g. tests and the virtual-mesh dryrun)."""
+    n, h, w, c_in = x.shape
+    widths = [c_in] + [lp["pw"].shape[1] for lp in p["hidden"]]
+    widths.append(p["out"]["pw"].shape[1])
+    # input + widest intermediate (held twice across a layer boundary)
+    per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
+    if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
+        return fused_conv_stack_blocked(p, x, interpret=interpret)
+    return _fused_conv_stack_whole(p, x, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _fused_conv_stack_whole(p, x, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]

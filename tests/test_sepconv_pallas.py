@@ -67,3 +67,16 @@ def test_blocked_matches_xla(w, w_blk):
     got = np.asarray(fused_conv_stack_blocked(p, x, w_blk=w_blk,
                                               interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_dispatch_picks_blocked_for_wide_f32():
+    """fused_conv_stack auto-dispatches wide/f32 grids to the blocked
+    variant (whole-grid VMEM working set would exceed the budget) and
+    still matches XLA."""
+    p = _init_conv_stack(jax.random.PRNGKey(6), 18, [128, 128], 56,
+                         "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 14, 3276, 18),
+                          jnp.float32)
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack(p, x, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
