@@ -58,9 +58,13 @@ class AerialNRX:
         # comb is always within the PRB for type-1 DMRS).
         mask = rg.pilot_mask
         n_sym, n_sc = mask.shape
+        self.n_sc = n_sc
         self._n_pilots = []
         gathers = []
         focc_pairs = []
+        pilot_scs = []
+        freq_dists = []
+        pad_exact = True
         for tx in range(rg.num_tx):
             g = rg.dmrs_grids[slot, tx]
             ip, jp = np.where(np.abs(g) > 1e-3)
@@ -73,9 +77,22 @@ class AerialNRX:
             # neural_rx.py:1620-1629)
             pair = np.arange(len(ip)) // 2
             focc_pairs.append(pair.astype(np.int32))
+            pilot_scs.append(jp.astype(np.int32))
+            # per-subcarrier distance to every pilot (for runtime
+            # valid-width-aware PE under pad-to-bucket dispatch)
+            freq_dists.append(
+                np.abs(np.arange(n_sc)[:, None] - jp[None, :])
+                .astype(np.float32))
+            # padded dispatch is LLR-exact iff no valid-region RE ever
+            # gathers a pilot to its right (true for type-1 comb DMRS):
+            jp_g = jp[gathers[-1]]  # [sym, sc] gathered pilot subcarrier
+            pad_exact &= bool(np.all(jp_g <= np.arange(n_sc)[None, :]))
         self.nn_gather = np.stack(gathers)  # [T, sym, sc]
         self.focc_pair = np.stack(focc_pairs)  # [T, n_pilots]
         self.num_pilots = self._n_pilots[0]
+        self.pilot_sc = np.stack(pilot_scs)  # [T, n_pilots]
+        self.freq_dist = np.stack(freq_dists)  # [T, sc, n_pilots]
+        self.pad_dispatch_exact = pad_exact
 
     def __call__(self, params, rx_slot_real, rx_slot_imag, h_hat_real,
                  h_hat_imag, dmrs_port_mask):

@@ -29,7 +29,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .ldpc_tables import BG_PARAMS, base_graph
+from .ldpc_tables import BG_PARAMS, SPECIAL_ROWS, base_graph
 
 
 class LDPCCode:
@@ -116,10 +116,29 @@ def encode(code: LDPCCode, info: jnp.ndarray) -> jnp.ndarray:
 
     lam = [row_info_sum(r) for r in range(4)]
 
-    # Core parity: special column k_b has shifts (1, 0, 1) on its three
-    # rows; summing the four core rows cancels the staircase and yields
-    # P(1) p1 + P(0) p1 + P(1) p1 = P(0) p1 -> p1 = lam0+lam1+lam2+lam3.
-    p1 = jnp.mod(lam[0] + lam[1] + lam[2] + lam[3], 2.0)
+    # Core parity (38.212 structured encoding): summing the four lifted
+    # core rows cancels the shift-0 staircase, leaving
+    #   (P_{s0} + P_{s1} + P_{s2}) p1 = lam0+lam1+lam2+lam3
+    # over the weight-3 special column's shifts (s0, s1, s2). The spec
+    # tables guarantee two of the three are equal, so the paired circulants
+    # cancel in GF(2) and a single P_t survives (t = the odd-one-out shift;
+    # t = the common value when all three are equal). P_t p1 = lam_sum
+    # with P_t x = roll(x, -t)  =>  p1 = roll(lam_sum, +t).
+    # Covers the real tables' special cases (BG1 i_LS=6: t=105 mod Z;
+    # BG2 i_LS in {3,7}: t=1) as well as the generated fallback's (s,0,s).
+    s3 = [code.shifts[(r, code.k_b)] for r in SPECIAL_ROWS[code.bg]]
+    if s3[0] == s3[1] == s3[2]:
+        t = s3[0]
+    elif s3[0] == s3[1]:
+        t = s3[2]
+    elif s3[0] == s3[2]:
+        t = s3[1]
+    elif s3[1] == s3[2]:
+        t = s3[0]
+    else:  # validator rejects this at table load; defend anyway
+        raise ValueError(f"special column shifts {s3} all distinct")
+    lam_sum = jnp.mod(lam[0] + lam[1] + lam[2] + lam[3], 2.0)
+    p1 = jnp.roll(lam_sum, t, axis=-1)
 
     def p1_term(r):
         if (r, code.k_b) in code.shifts and code.k_b in code.rows[r]:

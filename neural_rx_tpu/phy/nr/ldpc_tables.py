@@ -2,14 +2,35 @@
 
 The two base graphs' *structure* (edge positions, dimensions, the
 double-diagonal core-parity layout, lifting-size sets) follows 38.212
-Tables 5.3.2-1..3. Shift coefficients are generated deterministically with
-a greedy girth-maximizing search per lifting set (minimizing lifted
-4-cycles at the set's maximum Z, the same design criterion used for the
-spec tables). The resulting code family is structurally identical to 5G NR
-LDPC (same rates, blocklengths, degree profiles, puncturing, HARQ buffer)
-and delivers equivalent BP-decoding performance; exact spec shift values
-can be dropped in later without touching any other code (they are consumed
-opaquely through `base_graph()`).
+Tables 5.3.2-1..3 exactly.
+
+Shift coefficients come from one of two sources, in priority order:
+
+1. **Spec tables** (Table 5.3.2-2 for BG1, 5.3.2-3 for BG2), loaded from
+   CSV files ``nr_ldpc_bg{1,2}_shifts.csv`` found in
+   ``$NRX_LDPC_TABLE_DIR`` or ``neural_rx_tpu/phy/nr/data/``. Format: one
+   line per base-graph edge, ``row,col,V0,V1,...,V7`` (the eight V(i,j)
+   values for lifting-set indices i_LS = 0..7). On load the tables are
+   validated against the hard spec invariants (exact edge set, per-set
+   value range, all-zero double-diagonal staircase and degree-1 extension
+   columns, the two-equal-shifts property of the weight-3 core parity
+   column that the spec encoder relies on); a file failing validation is
+   an error, never a silent fallback.
+
+2. **Generated fallback**: a deterministic greedy girth-maximizing search
+   per lifting set (minimizing lifted 4-cycles at the set's maximum Z,
+   the same design criterion used for the spec tables). The resulting
+   code family is structurally identical to 5G NR LDPC (same rates,
+   blocklengths, degree profiles, puncturing, HARQ buffer) and delivers
+   equivalent BP-decoding performance, but is NOT bit-interoperable with
+   a transmitter using the true spec shifts. This build environment has
+   no network access and no copy of TS 38.212 / a spec-table-bearing
+   package on disk, so the 4104 table constants cannot be transcribed
+   with verifiable fidelity; dropping the real CSVs in (no code changes)
+   upgrades the chain to bit-exact 5G NR. ``spec_tables_active()``
+   reports which source is live; golden-vector tests under
+   ``tests/test_transport_chain.py`` activate automatically with the CSVs
+   (see scripts/make_ldpc_golden.py).
 
 Replaces the LDPC5G encoder/decoder the reference imports from Sionna
 (SURVEY.md §2.9; reference neural_rx.py:1402-1413 builds TBDecoders).
@@ -18,6 +39,8 @@ Replaces the LDPC5G encoder/decoder the reference imports from Sionna
 from __future__ import annotations
 
 import functools
+import os
+import pathlib
 
 import numpy as np
 
@@ -180,18 +203,104 @@ def _greedy_shifts(rows, num_cols, z_max: int, seed: int) -> dict:
     return shifts
 
 
+# Rows carrying the weight-3 "special" core-parity column (col k_b):
+# BG1 col 22 appears in rows {0,1,3}; BG2 col 10 in rows {0,2,3}.
+SPECIAL_ROWS = {1: (0, 1, 3), 2: (0, 2, 3)}
+
+_SPEC_CSV = {1: "nr_ldpc_bg1_shifts.csv", 2: "nr_ldpc_bg2_shifts.csv"}
+
+
+def _spec_table_path(bg: int):
+    """First existing spec-shift CSV for base graph `bg`, else None."""
+    cands = []
+    env = os.environ.get("NRX_LDPC_TABLE_DIR")
+    if env:
+        cands.append(pathlib.Path(env) / _SPEC_CSV[bg])
+    cands.append(pathlib.Path(__file__).parent / "data" / _SPEC_CSV[bg])
+    for c in cands:
+        if c.is_file():
+            return c
+    return None
+
+
+def validate_shift_table(bg: int, table: dict) -> None:
+    """Check a {(row, col): [V_0..V_7]} table against spec invariants.
+
+    Raises ValueError on the first violation. Invariants (38.212 §5.3.2):
+    edge set identical to Table 5.3.2-2/3 structure; 0 <= V(i,j) < max Z
+    of lifting set i; double-diagonal staircase and degree-1 extension
+    entries all zero; weight-3 special column has two equal shifts per
+    set (the property the structured encoder relies on).
+    """
+    p = BG_PARAMS[bg]
+    k_b = p["k_b"]
+    want_edges = {(r, c) for r, cols in enumerate(p["rows"]) for c in cols}
+    have_edges = set(table.keys())
+    if have_edges != want_edges:
+        missing = sorted(want_edges - have_edges)[:5]
+        extra = sorted(have_edges - want_edges)[:5]
+        raise ValueError(
+            f"BG{bg} edge set mismatch: missing {missing}, extra {extra}")
+    for (r, c), vals in table.items():
+        if len(vals) != len(LIFTING_SETS):
+            raise ValueError(f"BG{bg} edge ({r},{c}): need 8 values")
+        for i, v in enumerate(vals):
+            zmax = max(LIFTING_SETS[i])
+            if not 0 <= v < zmax:
+                raise ValueError(
+                    f"BG{bg} edge ({r},{c}) set {i}: V={v} not in [0,{zmax})")
+    for i in range(3):  # staircase cols k_b+1..k_b+3, rows (i, i+1)
+        for r in (i, i + 1):
+            if any(table[(r, k_b + 1 + i)]):
+                raise ValueError(f"BG{bg} staircase ({r},{k_b + 1 + i}) != 0")
+    for r in range(4, p["num_rows"]):
+        if any(table[(r, k_b + r)]):
+            raise ValueError(f"BG{bg} extension ({r},{k_b + r}) != 0")
+    for i in range(len(LIFTING_SETS)):
+        s = [table[(r, k_b)][i] for r in SPECIAL_ROWS[bg]]
+        if len(set(s)) == 3:
+            raise ValueError(
+                f"BG{bg} set {i}: special col shifts {s} all distinct "
+                "(spec encoder needs two equal)")
+
+
+@functools.lru_cache(maxsize=2)
+def _load_spec_table(bg: int):
+    """Parse + validate the spec CSV for `bg`; None if no file exists."""
+    path = _spec_table_path(bg)
+    if path is None:
+        return None
+    table = {}
+    for ln, line in enumerate(path.read_text().splitlines(), 1):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = [int(x) for x in line.replace(";", ",").split(",")]
+        if len(parts) != 10:
+            raise ValueError(f"{path}:{ln}: need row,col,V0..V7")
+        table[(parts[0], parts[1])] = parts[2:]
+    validate_shift_table(bg, table)
+    return table
+
+
+def spec_tables_active() -> bool:
+    """True iff both base graphs run with loaded 38.212 shift tables."""
+    return _load_spec_table(1) is not None and _load_spec_table(2) is not None
+
+
 @functools.lru_cache(maxsize=None)
 def base_graph(bg: int, z: int):
     """-> (rows, shifts) for base graph `bg` at lifting size `z`.
 
     rows: list of per-row column lists; shifts: {(row, col): shift mod z}.
 
-    The encodable core-parity structure matches the spec: the "special"
-    weight-3 parity column k_b (rows {0,1,3} in BG1, {0,2,3} in BG2) plus
-    the shift-0 double-diagonal staircase over columns k_b+1..k_b+3.
-    The special column carries shift 1 on its first and last row and 0 in
-    the middle, so summing the four lifted core rows isolates p1 directly
-    (the property the spec encoder relies on).
+    Shift source: validated spec CSV if present (see module docstring),
+    else the generated fallback. Either way the encodable core-parity
+    structure holds: the weight-3 special column k_b has two equal shifts
+    per lifting set (so summing the four lifted core rows isolates p1
+    through a single circulant), and the double-diagonal staircase over
+    columns k_b+1..k_b+3 plus all degree-1 extension columns carry
+    shift 0.
     """
     p = BG_PARAMS[bg]
     rows = [list(r) for r in p["rows"]]
@@ -200,22 +309,26 @@ def base_graph(bg: int, z: int):
 
     i_ls = lifting_set_index(z)
     z_max = max(LIFTING_SETS[i_ls])
-    shifts = _greedy_shifts(rows, num_cols, z_max, seed=1000 * bg + i_ls)
 
-    # Canonical, guaranteed-invertible core parity shifts.
-    special_rows = {1: (0, 1, 3), 2: (0, 2, 3)}[bg]
-    s = 1 % z_max
-    shifts[(special_rows[0], k_b)] = s
-    shifts[(special_rows[1], k_b)] = 0
-    shifts[(special_rows[2], k_b)] = s
-    # staircase: col k_b+1 rows (0,1), k_b+2 rows (1,2), k_b+3 rows (2,3)
-    for i in range(3):
-        shifts[(i, k_b + 1 + i)] = 0
-        shifts[(i + 1, k_b + 1 + i)] = 0
-    # extension parity columns: degree-1 identity (shift 0)
-    for r in range(4, p["num_rows"]):
-        ext_col = k_b + r
-        shifts[(r, ext_col)] = 0
+    spec = _load_spec_table(bg)
+    if spec is not None:
+        shifts = {edge: vals[i_ls] for edge, vals in spec.items()}
+    else:
+        shifts = _greedy_shifts(rows, num_cols, z_max, seed=1000 * bg + i_ls)
+        # Canonical, guaranteed-invertible core parity shifts.
+        special_rows = SPECIAL_ROWS[bg]
+        s = 1 % z_max
+        shifts[(special_rows[0], k_b)] = s
+        shifts[(special_rows[1], k_b)] = 0
+        shifts[(special_rows[2], k_b)] = s
+        # staircase: col k_b+1 rows (0,1), k_b+2 rows (1,2), k_b+3 rows (2,3)
+        for i in range(3):
+            shifts[(i, k_b + 1 + i)] = 0
+            shifts[(i + 1, k_b + 1 + i)] = 0
+        # extension parity columns: degree-1 identity (shift 0)
+        for r in range(4, p["num_rows"]):
+            ext_col = k_b + r
+            shifts[(r, ext_col)] = 0
 
     shifts = {k: v % z for k, v in shifts.items()}
     return rows, shifts

@@ -106,15 +106,24 @@ def _apply_conv(p, x):
     return y + p["b"].astype(x.dtype)
 
 
-def _apply_conv_stack(p, x, layer_type, fused: bool = False):
-    if fused and layer_type == "sepconv":
+def _apply_conv_stack(p, x, layer_type, fused: bool = False, sc_mask=None):
+    """sc_mask (optional [1, 1, W, 1]): re-zero padded subcarriers after
+    EVERY conv layer. Needed for exact pad-to-bucket dispatch: conv biases
+    otherwise make pad-region activations nonzero, and the next 3x3 conv
+    bleeds them into the valid region, diverging from the direct-shape
+    execution (which sees implicit zero padding at the band edge)."""
+    if fused and layer_type == "sepconv" and sc_mask is None:
         # single pallas kernel, activations stay in VMEM (kernels/)
         from ..kernels.sepconv_pallas import fused_conv_stack
         return fused_conv_stack(p, x)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
+
+    def m(v):
+        return v if sc_mask is None else v * sc_mask.astype(v.dtype)
+
     for lp in p["hidden"]:
-        x = jax.nn.relu(f(lp, x))
-    return f(p["out"], x)
+        x = m(jax.nn.relu(f(lp, x)))
+    return m(f(p["out"], x))
 
 
 def _apply_mlp(p, x):
@@ -207,29 +216,43 @@ def _aggregate_user_states(p, s, active_tx, dtype):
     a = jnp.sum(sp, axis=1, keepdims=True) - sp
     p_cnt = jnp.sum(mask, axis=1, keepdims=True) - 1.0
     p_cnt = jax.nn.relu(p_cnt)  # clip -1 (no active) to 0
-    scale = jnp.where(p_cnt == 0.0, jnp.asarray(1.0, dtype), 1.0 / p_cnt)
+    # Divide by max(p_cnt, 1) BEFORE the where: 1/p_cnt at p_cnt==0 is inf
+    # and would poison gradients through the dead where branch (classic
+    # jnp.where grad hazard).
+    scale = jnp.where(p_cnt == 0.0, jnp.asarray(1.0, dtype),
+                      1.0 / jnp.maximum(p_cnt, 1.0))
     return a * scale
 
 
-def _update_state(p, s, a, pe, layer_type, fused: bool = False):
+def _update_state(p, s, a, pe, layer_type, fused: bool = False,
+                  sc_mask=None):
     """Conv state update with residual skip (reference :210-270)."""
     b, t = s.shape[0], s.shape[1]
     pe_b = jnp.broadcast_to(pe[None], (b,) + pe.shape)
     z = jnp.concatenate([a, s, pe_b], axis=-1)
     z = z.reshape((b * t,) + z.shape[2:])
-    z = _apply_conv_stack(p, z, layer_type, fused)
+    z = _apply_conv_stack(p, z, layer_type, fused, sc_mask)
     return z.reshape((b, t) + z.shape[1:]) + s
 
 
 def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
                mcs_ue_mask, num_it: int | None = None,
                training: bool = False, apply_multiloss: bool = False,
-               dtype=jnp.float32):
+               dtype=jnp.float32, sc_valid=None):
     """Forward pass (reference CGNN.forward, neural_rx.py:544-595).
 
     y: [b, sym, sc, 2*rx_ant] real; pe: [T, sym, sc, 2];
     h_hat: [b, T, sym, sc, 2*rx_ant] or None; active_tx: [b, T];
     mcs_ue_mask: [b, T, num_mcs] one-hot.
+
+    sc_valid (optional int32 scalar, traceable): number of valid leading
+    subcarriers when the grid is padded to a PRB bucket (deploy/aot).
+    When set, the power norm averages over valid REs only and every conv
+    layer re-zeros the padded region, so the LLRs over the valid
+    subcarriers are identical to a direct execution at the valid width
+    (the XLA analog of the reference's dynamic-shape TRT profiles,
+    export_onnx.py:147-160). The fused-pallas conv path does not carry
+    the mask, so it is bypassed when sc_valid is given.
 
     Returns (llrs, h_hats): llrs is a list over readout points, each a
     list over MCS of [b, T, sym, sc, num_bits]; h_hats a list of
@@ -239,10 +262,24 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     assert 1 <= num_it <= cfg.num_it
     b = y.shape[0]
     t = pe.shape[0]
+    n_sc = y.shape[2]
+
+    sc_mask = None
+    if sc_valid is not None:
+        sc_mask = (jnp.arange(n_sc) < sc_valid).astype(
+            jnp.float32)[None, None, :, None]
+        y = y * sc_mask
+        pe = pe * sc_mask
+        if h_hat is not None:
+            h_hat = h_hat * sc_mask[None]
 
     # Input power normalization: unit mean power per batch sample
-    norm = jax.lax.rsqrt(jnp.mean(y.astype(jnp.float32) ** 2,
-                                  axis=(1, 2, 3), keepdims=True) + 1e-12)
+    # (over valid REs only when the grid is bucket-padded)
+    mean_sq = jnp.mean(y.astype(jnp.float32) ** 2, axis=(1, 2, 3),
+                       keepdims=True)
+    if sc_valid is not None:
+        mean_sq = mean_sq * (n_sc / sc_valid.astype(jnp.float32))
+    norm = jax.lax.rsqrt(mean_sq + 1e-12)
     y = (y * norm).astype(dtype)
     pe = pe.astype(dtype)
     if h_hat is not None:
@@ -257,7 +294,7 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
 
     def run_init(p):
         s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,
-                              cfg.fused_convs)
+                              cfg.fused_convs, sc_mask)
         return s.reshape((b, t) + s.shape[1:])
 
     if cfg.var_mcs_masking:
@@ -274,7 +311,7 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
         it_p = params["iterations"][i]
         a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
         s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv,
-                          cfg.fused_convs)
+                          cfg.fused_convs, sc_mask)
         if (training and apply_multiloss) or i == num_it - 1:
             per_mcs = []
             for idx in range(cfg.num_mcs):

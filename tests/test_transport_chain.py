@@ -1,5 +1,7 @@
 """Transport-chain tests: LDPC encode/decode, rate matching, TB round trip."""
 
+import pathlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -9,10 +11,13 @@ from neural_rx_tpu.phy.misc import binary_source, complex_awgn
 from neural_rx_tpu.phy.constellation import qam_points
 from neural_rx_tpu.phy.mapping import map_bits, demap_maxlog
 from neural_rx_tpu.phy.nr.mcs import mcs_to_qm_rate, calculate_tbs
+from neural_rx_tpu.phy.nr import ldpc_tables
 from neural_rx_tpu.phy.nr.ldpc import get_code, encode, decode
 from neural_rx_tpu.phy.nr.ldpc_tables import (base_graph, BG_PARAMS,
+                                              LIFTING_SETS, SPECIAL_ROWS,
                                               select_base_graph,
-                                              select_lifting_size)
+                                              select_lifting_size,
+                                              validate_shift_table)
 from neural_rx_tpu.phy.nr.tb import TBConfig, tb_encode, tb_decode
 
 
@@ -133,3 +138,122 @@ class TestTransportBlock:
         llr = jax.random.normal(jax.random.PRNGKey(7), (2, 576 * qm)) * 3
         _, ok = tb_decode(cfg, llr)
         assert not bool(jnp.any(ok))
+
+
+def _make_full_table(bg):
+    """Synthetic 8-set shift table with valid structure (from the generated
+    per-set graphs), used to exercise the spec-CSV load path."""
+    table = {}
+    for i, zs in enumerate(LIFTING_SETS):
+        _, shifts = base_graph(bg, max(zs))
+        for edge, v in shifts.items():
+            table.setdefault(edge, [0] * len(LIFTING_SETS))[i] = v
+    return table
+
+
+@pytest.fixture
+def spec_table_dir(tmp_path, monkeypatch):
+    """Point the loader at tmp_path and clear every affected cache."""
+    monkeypatch.setenv("NRX_LDPC_TABLE_DIR", str(tmp_path))
+    ldpc_tables._load_spec_table.cache_clear()
+    base_graph.cache_clear()
+    get_code.cache_clear()
+    yield tmp_path
+    monkeypatch.delenv("NRX_LDPC_TABLE_DIR")
+    ldpc_tables._load_spec_table.cache_clear()
+    base_graph.cache_clear()
+    get_code.cache_clear()
+
+
+def _write_csv(path, table):
+    lines = [f"{r},{c}," + ",".join(str(v) for v in vals)
+             for (r, c), vals in sorted(table.items())]
+    path.write_text("\n".join(lines) + "\n")
+    # caches were filled while no CSV existed; force a reload
+    ldpc_tables._load_spec_table.cache_clear()
+    base_graph.cache_clear()
+    get_code.cache_clear()
+
+
+class TestSpecTableLoader:
+    """The drop-in 38.212 CSV path: load, validate, and encode through
+    tables whose special-column pattern matches the real spec's hard
+    cases (BG1 i_LS=6 odd-one-out 105, BG2 i_LS in {3,7} odd-one-out 1)."""
+
+    @pytest.mark.parametrize("bg,i_ls,z,special", [
+        (1, 6, 104, (0, 105, 0)),   # real-table BG1 pattern: p1 roll 105%Z
+        (2, 3, 112, (1, 0, 0)),     # real-table BG2 pattern: t=1
+        (2, 7, 120, (3, 3, 17)),    # t=17, all nonzero
+    ])
+    def test_loaded_table_encodes_consistently(self, spec_table_dir, bg,
+                                               i_ls, z, special):
+        table = _make_full_table(bg)
+        k_b = BG_PARAMS[bg]["k_b"]
+        for r, v in zip(SPECIAL_ROWS[bg], special):
+            table[(r, k_b)][i_ls] = v
+        _write_csv(spec_table_dir / f"nr_ldpc_bg{bg}_shifts.csv", table)
+        code = get_code(bg, z)
+        # the loaded shifts (not the fallback) must be live
+        assert code.shifts[(SPECIAL_ROWS[bg][0], k_b)] == special[0] % z
+        rng = np.random.default_rng(3)
+        info = jnp.asarray(rng.integers(0, 2, (2, code.k)).astype(np.float32))
+        cw = np.asarray(encode(code, info))
+        blocks = cw.reshape(2, code.num_cols, z)
+        for r, cols in enumerate(code.rows):
+            acc = np.zeros((2, z))
+            for c in cols:
+                acc += np.roll(blocks[:, c, :], -code.shifts[(r, c)], axis=-1)
+            assert np.all(acc % 2 == 0), f"row {r} violated"
+        # noiseless decode round-trips through the same loaded graph
+        llr = 5.0 * (1.0 - 2.0 * jnp.asarray(cw))
+        hard = decode(code, llr, num_iter=5)
+        np.testing.assert_array_equal(np.asarray(hard[..., :code.k]),
+                                      np.asarray(info))
+
+    def test_validator_rejects_bad_tables(self, spec_table_dir):
+        table = _make_full_table(2)
+        k_b = BG_PARAMS[2]["k_b"]
+        # all-distinct special column -> encoder property broken
+        for r, v in zip(SPECIAL_ROWS[2], (1, 2, 3)):
+            table[(r, k_b)][0] = v
+        with pytest.raises(ValueError, match="all distinct"):
+            validate_shift_table(2, table)
+        # out-of-range value for its lifting set
+        table2 = _make_full_table(2)
+        table2[(0, 0)][6] = 208  # set 6 max Z is 208
+        with pytest.raises(ValueError, match="not in"):
+            validate_shift_table(2, table2)
+        # missing edge
+        table3 = _make_full_table(2)
+        table3.pop((0, 0))
+        with pytest.raises(ValueError, match="edge set mismatch"):
+            validate_shift_table(2, table3)
+        # a bad CSV on disk must be an error, never a silent fallback
+        _write_csv(spec_table_dir / "nr_ldpc_bg2_shifts.csv", table3)
+        with pytest.raises(ValueError):
+            base_graph(2, 64)
+
+    def test_spec_tables_inactive_without_csvs(self):
+        assert not ldpc_tables.spec_tables_active()
+
+
+class TestGoldenVectors:
+    """Bit-exact regression vectors (scripts/make_ldpc_golden.py). With
+    the true 38.212 CSVs dropped into phy/nr/data/, regenerating the
+    goldens pins the spec-exact encoder output; until then they pin the
+    generated-table fallback against silent drift."""
+
+    GOLDEN = pathlib.Path(__file__).parent / "data" / "ldpc_golden.npz"
+
+    def test_golden_encode(self):
+        if not self.GOLDEN.exists():
+            pytest.skip("no golden file")
+        blob = np.load(self.GOLDEN)
+        if bool(blob["spec_tables"]) != ldpc_tables.spec_tables_active():
+            pytest.skip("golden generated under a different table source")
+        for bg, z in [(1, 384), (2, 224), (2, 64)]:
+            code = get_code(bg, z)
+            info = blob[f"info_bg{bg}_z{z}"]
+            want = blob[f"cw_bg{bg}_z{z}"]
+            got = np.asarray(encode(code, jnp.asarray(info)))
+            np.testing.assert_array_equal(got, want)
