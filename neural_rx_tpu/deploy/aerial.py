@@ -84,9 +84,12 @@ class AerialNRX:
                 np.abs(np.arange(n_sc)[:, None] - jp[None, :])
                 .astype(np.float32))
             # padded dispatch is LLR-exact iff no valid-region RE ever
-            # gathers a pilot to its right (true for type-1 comb DMRS):
+            # gathers a pilot from a LATER PRB (valid boundaries are PRB
+            # multiples; true for type-1 comb DMRS, where the nearest
+            # pilot subcarrier is always within the RE's own PRB):
             jp_g = jp[gathers[-1]]  # [sym, sc] gathered pilot subcarrier
-            pad_exact &= bool(np.all(jp_g <= np.arange(n_sc)[None, :]))
+            pad_exact &= bool(np.all(
+                jp_g // 12 <= np.arange(n_sc)[None, :] // 12))
         self.nn_gather = np.stack(gathers)  # [T, sym, sc]
         self.focc_pair = np.stack(focc_pairs)  # [T, n_pilots]
         self.num_pilots = self._n_pilots[0]
@@ -94,8 +97,32 @@ class AerialNRX:
         self.freq_dist = np.stack(freq_dists)  # [T, sc, n_pilots]
         self.pad_dispatch_exact = pad_exact
 
+    def _dynamic_pe(self, num_valid_sc):
+        """Positional encoding for a bucket grid whose trailing
+        subcarriers are padding: freq distances use only pilots inside
+        the valid region, z-scoring runs over valid subcarriers, and the
+        padded region is zeroed (matching the implicit zero padding a
+        direct execution at the valid width would see). The time channel
+        is column-local, so the static precompute stays valid."""
+        msc = (jnp.arange(self.n_sc) < num_valid_sc)
+        dist = jnp.where(
+            jnp.asarray(self.pilot_sc)[:, None, :] < num_valid_sc,
+            jnp.asarray(self.freq_dist), jnp.inf).min(-1)  # [T, sc]
+        nv = num_valid_sc.astype(jnp.float32)
+        mean = jnp.sum(dist * msc, -1, keepdims=True) / nv
+        var = jnp.sum(jnp.where(msc, dist - mean, 0.0) ** 2, -1,
+                      keepdims=True) / nv
+        std = jnp.sqrt(var)
+        pe_f = jnp.where(msc & (std > 0), (dist - mean)
+                         / jnp.where(std > 0, std, 1.0), 0.0)
+        pe_t = jnp.asarray(self.pe[..., 0]) * msc  # [T, sym, sc]
+        n_sym = pe_t.shape[1]
+        pe_f = jnp.broadcast_to(pe_f[:, None], (pe_t.shape[0], n_sym,
+                                                self.n_sc))
+        return jnp.stack([pe_t, pe_f], axis=-1)
+
     def __call__(self, params, rx_slot_real, rx_slot_imag, h_hat_real,
-                 h_hat_imag, dmrs_port_mask):
+                 h_hat_imag, dmrs_port_mask, num_valid_sc=None):
         rg = self.rg
         b = rx_slot_real.shape[0]
         t = self.num_layers
@@ -130,10 +157,15 @@ class AerialNRX:
         mcs_mask = jnp.tile(
             jax.nn.one_hot(self.mcs_idx, self.cfg.num_mcs)[None, None],
             (b, t, 1))
+        if num_valid_sc is None:
+            pe = jnp.asarray(self.pe)
+        else:
+            num_valid_sc = jnp.asarray(num_valid_sc, jnp.int32)
+            pe = self._dynamic_pe(num_valid_sc)
         llrs, _ = cgnn_apply(
-            params["cgnn"], self.cfg, y_in, jnp.asarray(self.pe), h_in,
+            params["cgnn"], self.cfg, y_in, pe, h_in,
             dmrs_port_mask.astype(jnp.float32), mcs_mask,
-            num_it=self.num_it, dtype=self.dtype)
+            num_it=self.num_it, dtype=self.dtype, sc_valid=num_valid_sc)
         llr = llrs[-1][self.mcs_idx]  # [b, T, sym, sc, bits]
         # Aerial order [b, T, sc, sym, bits], sign-flipped
         return -jnp.transpose(llr, (0, 1, 3, 2, 4))

@@ -15,29 +15,48 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 DEFAULT_PRB_BUCKETS = (4, 16, 32, 64, 132, 273)
 
 
 class BucketedReceiver:
-    """Per-bucket AOT-compiled Aerial receivers.
+    """Per-bucket AOT-compiled Aerial receivers with pad-to-bucket
+    dispatch (the reference serves any PRB count via dynamic-shape TRT
+    profiles, export_onnx.py:147-160; XLA's analog is one executable per
+    bucket plus a runtime valid-width input).
 
-    build(cfg_builder) compiles fn(params, *aerial_inputs) for each
-    bucket; `run` dispatches by n_prb.
+    A request at a non-bucket `n_prb` is served by the smallest bucket
+    that fits: the received slot is zero-padded on the subcarrier axis,
+    the LS pilot estimates are scattered into the bucket's pilot
+    enumeration, the engine runs with `num_valid_sc = 12*n_prb` (which
+    drives a valid-region power norm, a valid-width positional encoding,
+    and per-conv-layer re-zeroing of the pad — see cgnn_apply), and the
+    LLR output is cropped back. For type-1 comb DMRS (the deployed nrx
+    family) the cropped LLRs are bit-identical to a direct execution at
+    n_prb (engine.pad_dispatch_exact reports this).
     """
 
-    def __init__(self, make_receiver, params, batch_size: int = 1,
+    def __init__(self, make_engine, params, batch_size: int = 1,
                  buckets=DEFAULT_PRB_BUCKETS):
-        """make_receiver: n_prb -> (callable, example_inputs)."""
+        """make_engine: n_prb -> (engine, example_inputs) with engine an
+        `deploy.aerial.AerialNRX`-compatible callable exposing `n_sc`,
+        `num_pilots`, `pilot_sc`, and accepting a trailing
+        `num_valid_sc` argument."""
         self.buckets = tuple(sorted(buckets))
         self.compiled = {}
+        self.engines = {}
         self.params = params
         self.compile_times = {}
+        self._pilot_scatter_cache = {}
         for n_prb in self.buckets:
-            fn, example = make_receiver(n_prb)
+            engine, example = make_engine(n_prb)
+            self.engines[n_prb] = engine
             t0 = time.time()
-            lowered = jax.jit(fn).lower(params, *example)
+            fn = lambda p, *a: engine(p, *a[:-1], num_valid_sc=a[-1])
+            lowered = jax.jit(fn).lower(
+                params, *example, np.int32(engine.n_sc))
             self.compiled[n_prb] = lowered.compile()
             self.compile_times[n_prb] = time.time() - t0
 
@@ -47,12 +66,50 @@ class BucketedReceiver:
                 return b
         raise ValueError(f"{n_prb} PRBs exceeds largest bucket")
 
-    def run(self, n_prb: int, *inputs):
+    def _pilot_scatter(self, bucket: int, valid_sc: int):
+        """Bucket-pilot indices whose subcarrier is in the valid region,
+        per tx — the positions the caller's n_prb pilot axis maps to
+        (both enumerations are (sym, sc)-sorted, so order matches)."""
+        key = (bucket, valid_sc)
+        if key not in self._pilot_scatter_cache:
+            eng = self.engines[bucket]
+            idx = [np.flatnonzero(eng.pilot_sc[tx] < valid_sc)
+                   for tx in range(eng.pilot_sc.shape[0])]
+            n = {len(i) for i in idx}
+            assert len(n) == 1, "per-tx valid pilot counts differ"
+            self._pilot_scatter_cache[key] = np.stack(idx)  # [T, P_valid]
+        return self._pilot_scatter_cache[key]
+
+    def run(self, n_prb: int, rx_slot_real, rx_slot_imag, h_hat_real,
+            h_hat_imag, dmrs_port_mask):
         b = self.bucket_for(n_prb)
-        if n_prb != b:
-            raise NotImplementedError(
-                "pad inputs to the bucket size before dispatch")
-        return self.compiled[b](self.params, *inputs)
+        eng = self.engines[b]
+        valid_sc = 12 * n_prb
+        if valid_sc == eng.n_sc:
+            return self.compiled[b](self.params, rx_slot_real,
+                                    rx_slot_imag, h_hat_real, h_hat_imag,
+                                    dmrs_port_mask, np.int32(valid_sc))
+        pad = eng.n_sc - valid_sc
+        yr = jnp.pad(rx_slot_real, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        yi = jnp.pad(rx_slot_imag, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        idx = self._pilot_scatter(b, valid_sc)  # [T, P_valid]
+        if h_hat_real.shape[1] != idx.shape[1]:
+            raise ValueError(
+                f"expected {idx.shape[1]} pilots for {n_prb} PRBs, "
+                f"got {h_hat_real.shape[1]}")
+
+        def scatter(h):  # [b, P_valid, T, ant] -> [b, P_bucket, T, ant]
+            out = jnp.zeros((h.shape[0], eng.num_pilots) + h.shape[2:],
+                            h.dtype)
+            for tx in range(idx.shape[0]):
+                out = out.at[:, idx[tx], tx].set(h[:, :, tx])
+            return out
+
+        llr = self.compiled[b](self.params, yr, yi, scatter(h_hat_real),
+                               scatter(h_hat_imag), dmrs_port_mask,
+                               np.int32(valid_sc))
+        # Aerial output layout [b, T, sc, sym, bits] -> crop the pad
+        return llr[:, :, :valid_sc]
 
 
 def measure_latency(compiled, params, inputs, iters: int = 100):

@@ -60,6 +60,15 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
     mesh: optional ("data","grid") jax mesh — the Monte-Carlo batch axis
     shards over "data" (the reference's sim_ber distribute="all" role,
     SURVEY.md §2.11); error counters reduce to host scalars.
+
+    Multi-process (jax.process_count() > 1, after jax.distributed
+    initialization): each process draws an independent per-host PRNG
+    stream (dist.multihost.host_fold_key) and evaluates its own
+    `batch_size` samples per iteration; the four error counters are
+    all-gathered and summed across processes every iteration, so early
+    stopping is decided on GLOBAL counts and every process takes the
+    same branch (no divergence/deadlock). Reference analog:
+    sim_ber(distribute="all"), evaluate.py:61.
     """
     if mesh is not None:
         model.mesh = mesh
@@ -71,7 +80,12 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
         def step(params, key, batch_size, ebno):  # noqa: F811
             with mesh:
                 return _inner(params, key, batch_size, ebno)
+    n_proc = jax.process_count()
     key = jax.random.PRNGKey(seed)
+    if n_proc > 1:
+        from ..dist.multihost import host_fold_key
+        key = host_fold_key(key)
+        verbose = verbose and jax.process_index() == 0
     ebno_dbs = np.asarray(ebno_dbs, np.float32)
     bers = np.full(len(ebno_dbs), np.nan)
     blers = np.full(len(ebno_dbs), np.nan)
@@ -81,6 +95,12 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
         for it in range(max_mc_iter):
             key, sub = jax.random.split(key)
             r = step(params, sub, batch_size, jnp.float32(ebno))
+            r = np.asarray([int(r[0]), int(r[1]), int(r[2]), int(r[3])],
+                           np.int64)
+            if n_proc > 1:
+                from jax.experimental import multihost_utils
+                r = np.asarray(
+                    multihost_utils.process_allgather(r)).sum(axis=0)
             be += int(r[0]); nb += int(r[1])
             ble += int(r[2]); nbl += int(r[3])
             if ble >= num_target_block_errors:
