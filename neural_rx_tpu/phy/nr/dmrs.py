@@ -99,8 +99,15 @@ def dmrs_symbol_indices(mapping_type: str, type_a_position: int,
                     **{ld_: [l0, 10] for ld_ in (12, 13, 14)}},
             }[additional_position]
             bars = [b + start for b in table[ld]]
-        else:
-            raise NotImplementedError("double-symbol type B DMRS")
+        else:  # double-symbol, mapping type B (Table 6.4.1.1.3-4)
+            assert ld >= 2, "double-symbol DMRS needs >=2 symbols"
+            table = {
+                0: {ld_: [l0] for ld_ in range(2, 15)},
+                1: {**{ld_: [l0] for ld_ in range(2, 10)},
+                    **{ld_: [l0, 8] for ld_ in (10, 11)},
+                    **{ld_: [l0, 10] for ld_ in (12, 13, 14)}},
+            }[additional_position]
+            bars = [b + start for b in table[ld]]
     else:
         raise ValueError(f"unknown mapping type {mapping_type}")
     out = []

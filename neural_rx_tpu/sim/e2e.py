@@ -213,7 +213,12 @@ class E2EModel:
             slot_idx=slot_idx)
         # restrict metrics to active ports (reference _mask_active_dmrs,
         # e2e_model.py:358): zero both bit tensors for inactive ports and
-        # mark their CRC as passed so they contribute no errors
+        # mark their CRC as passed so they contribute no errors.
+        # CONTRACT: the returned crc is the ERROR-COUNTING status
+        # (inactive ports forced to "pass" so sim_ber counts them as
+        # neither bit nor block errors); it is NOT a faithful per-port
+        # decoder CRC for inactive ports. Consumers needing the raw
+        # decoder status must call receiver.apply directly.
         am = active_dmrs[..., None]
         b = bits[0] * am
         b_hat = b_hat * am

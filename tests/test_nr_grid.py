@@ -74,6 +74,34 @@ class TestDMRS:
         assert not np.allclose(g0[2], g1[2])
         assert not np.allclose(g0[2], g0[11])
 
+    def test_double_symbol_pairs(self):
+        # type A double-symbol (Table 6.4.1.1.3-4): l = {2,3} (+ {10,11})
+        assert dmrs_symbol_indices("A", 2, 0, 2, (0, 14)) == [2, 3]
+        assert dmrs_symbol_indices("A", 2, 1, 2, (0, 14)) == [2, 3, 10, 11]
+        # type B double-symbol: pairs start at the allocation start
+        assert dmrs_symbol_indices("B", 2, 0, 2, (1, 12)) == [1, 2]
+        assert dmrs_symbol_indices("B", 2, 1, 2, (0, 12)) == [0, 1, 10, 11]
+        # every pair is consecutive and inside the allocation
+        for mt, alloc in (("A", (0, 14)), ("B", (2, 12))):
+            syms = dmrs_symbol_indices(mt, 2, 1, 2, alloc)
+            assert len(syms) % 2 == 0
+            for a, b in zip(syms[::2], syms[1::2]):
+                assert b == a + 1
+                assert alloc[0] <= a and b < alloc[0] + alloc[1]
+
+    def test_double_symbol_time_occ(self):
+        # ports 4-7 (type 1) carry w_t=(+1,-1): second symbol of each
+        # pair is sign-flipped relative to a +1 time-OCC port on the
+        # same comb (up to the per-symbol scrambling sequence)
+        cfg = DMRSConfig(dmrs_port_set=(0, 4), n_scid=1, n_id=(1, 1),
+                         length=2)
+        g0 = dmrs_grid_for_port(cfg, 0, 48, (0, 14), 0)
+        g4 = dmrs_grid_for_port(cfg, 4, 48, (0, 14), 0)
+        syms = dmrs_symbol_indices("A", 2, 1, 2, (0, 14))
+        first, second = syms[0], syms[1]
+        np.testing.assert_allclose(g4[first], g0[first])
+        np.testing.assert_allclose(g4[second], -g0[second])
+
 
 class TestPUSCHConfig:
     def test_tbs_nrx_rt(self):
