@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--snr", type=float, nargs="*", default=[3.0, 4.0])
     ap.add_argument("--batch", type=int, default=30)
     ap.add_argument("--max-iter", type=int, default=10)
-    ap.add_argument("--target-errors", type=int, default=60)
+    ap.add_argument("--target-errors", type=int, default=60)  # parity anchors: pass 200
     ap.add_argument("--weights", default=None,
                     help="defaults to weights/{config}_weights.pkl")
     ap.add_argument("--ref-weights", default=None,

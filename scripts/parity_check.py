@@ -54,7 +54,7 @@ def main():
 
     ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
                         max_mc_iter=args.max_iter,
-                        num_target_block_errors=150,
+                        num_target_block_errors=200,
                         num_it=p.num_nrx_iter_eval)
     print("\nEb/No |   ours   | reference")
     for e, b in zip(args.snr, bler):

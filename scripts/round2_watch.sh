@@ -63,10 +63,10 @@ while [ "$(left)" -gt 300 ]; do
     run 1500 python scripts/eval_trained_quick.py --fast-ldpc \
         --config nrx_rt_qpsk --num-tx 1 --channel TDL-B100 --snr 0 1
     run 2400 python scripts/eval_trained_quick.py --fast-ldpc \
-        --config nrx_large \
+        --config nrx_large --target-errors 200 \
         --ref-weights /root/reference/weights/nrx_large_weights --snr 2 3
     run 2400 python scripts/eval_trained_quick.py --fast-ldpc \
-        --config e2e_rt \
+        --config e2e_rt --target-errors 200 \
         --ref-weights /root/reference/weights/e2e_rt_weights --snr 2 3
 
     # --- 5) training queue (time-boxed) ---

@@ -93,3 +93,35 @@ def test_two_process_counters_match_oracle(tmp_path):
     # 2 procs x 8 batch x 2 tx = 32 blocks/iter < 40 target, so a
     # single process alone would not stop after ceil(40/16)=3 iters
     assert blers[0] > 0
+
+
+@pytest.mark.slow
+def test_two_process_training_step_stays_consistent(tmp_path):
+    """ONE distributed training step of the full E2E model with the
+    batch sharded across TWO processes: the gradient all-reduce (DCN
+    analog) must leave both processes with bit-identical params."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [subprocess.Popen(
+        [sys.executable, str(HELPERS / "run_multiproc_train.py"),
+         f"127.0.0.1:{port}", "2", str(p), str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for p in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            o, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            o, _ = p.communicate()
+        outs.append(o)
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    r0 = np.load(tmp_path / "proc0.npz")
+    r1 = np.load(tmp_path / "proc1.npz")
+    assert np.isfinite(r0["loss"])
+    assert float(r0["loss"]) == float(r1["loss"])
+    assert float(r0["checksum"]) == float(r1["checksum"])
