@@ -27,14 +27,18 @@ Implemented subset of §7.5 (documented scope, honest approximations):
 - cluster splitting of the two strongest clusters into 3 sub-clusters
   at delay offsets {0, 1.28, 2.56}*c_DS with the Table 7.5-5 fixed
   ray-to-sub-cluster assignment (§7.5 step 11)
+- zenith dimension (§7.5 steps 4b/7b): lognormal ZSA (Table 7.5-6) and
+  distance/height-dependent ZSD + ZOD offset (Tables 7.5-7/8 scenario
+  formulas), inverse-Laplacian cluster ZOA/ZOD centered on the
+  geometric LOS zenith, per-ray c_ZSA / (3/8)*10^mu_lgZSD offsets,
+  [0,180] mirroring, 3D steering (sin-theta factors on both ULAs), the
+  full 38.901 element pattern (vertical + horizontal cuts), and
+  sin-theta Doppler. Zenith LSPs are drawn independently of the azimuth
+  LSP block (the Table 7.5-6 zenith cross-correlation entries are a
+  secondary effect at street-canyon spreads and are omitted).
 Not implemented, with the quantitative justification for this setup
-(uplink, SNR-normalized — no pathloss/shadowing — horizontal single-row
-ULAs at both ends, reference parameters.py:291-354):
-- zenith angles / ZSD-ZOD tables: a horizontal ULA's steering phase is
-  k*d*sin(az)*cos(el); with 38.901 street-canyon elevation spreads
-  (ZSA ~ 5-10 deg) cos(el) >= 0.99, and the element pattern's vertical
-  cut changes gains by < 0.2 dB — both below the Monte-Carlo noise of
-  any BLER curve here.
+(uplink, SNR-normalized — no pathloss/shadowing — reference
+parameters.py:291-354):
 - spatial consistency / O2I: reference disables indoor users and drops
   users i.i.d. per step, so neither engages.
 
@@ -98,15 +102,19 @@ def _umi_params(fc):
             ds_mu=-0.24 * lf - 7.14, ds_sig=0.38,
             asd_mu=-0.05 * lf + 1.21, asd_sig=0.41,
             asa_mu=-0.08 * lf + 1.73, asa_sig=0.014 * lf + 0.28,
+            zsa_mu=-0.1 * lf + 0.73, zsa_sig=-0.04 * lf + 0.34,
             k_mu=9.0, k_sig=5.0, r_tau=3.0, num_clusters=12,
-            c_asd=3.0, c_asa=17.0, xpr_mu=9.0, xpr_sig=3.0, zeta=3.0,
+            c_asd=3.0, c_asa=17.0, c_zsa=7.0,
+            xpr_mu=9.0, xpr_sig=3.0, zeta=3.0,
             c_ds_ns=5.0),
         "nlos": dict(
             ds_mu=-0.24 * lf - 6.83, ds_sig=0.16 * lf + 0.28,
             asd_mu=-0.23 * lf + 1.53, asd_sig=0.11 * lf + 0.33,
             asa_mu=-0.08 * lf + 1.81, asa_sig=0.05 * lf + 0.3,
+            zsa_mu=-0.04 * lf + 0.92, zsa_sig=-0.07 * lf + 0.41,
             k_mu=0.0, k_sig=0.0, r_tau=2.1, num_clusters=19,
-            c_asd=10.0, c_asa=22.0, xpr_mu=8.0, xpr_sig=3.0, zeta=3.0,
+            c_asd=10.0, c_asa=22.0, c_zsa=7.0,
+            xpr_mu=8.0, xpr_sig=3.0, zeta=3.0,
             c_ds_ns=11.0),
     }
 
@@ -120,17 +128,56 @@ def _uma_params(fc):
             ds_mu=-6.955 - 0.0963 * lf, ds_sig=0.66,
             asd_mu=1.06 + 0.1114 * lf, asd_sig=0.28,
             asa_mu=1.81, asa_sig=0.20,
+            zsa_mu=0.95, zsa_sig=0.16,
             k_mu=9.0, k_sig=3.5, r_tau=2.5, num_clusters=12,
-            c_asd=5.0, c_asa=11.0, xpr_mu=8.0, xpr_sig=4.0, zeta=3.0,
+            c_asd=5.0, c_asa=11.0, c_zsa=7.0,
+            xpr_mu=8.0, xpr_sig=4.0, zeta=3.0,
             c_ds_ns=c_ds),
         "nlos": dict(
             ds_mu=-6.28 - 0.204 * lf, ds_sig=0.39,
             asd_mu=1.5 - 0.1144 * lf, asd_sig=0.28,
             asa_mu=2.08 - 0.27 * lf, asa_sig=0.11,
+            zsa_mu=-0.3236 * lf + 1.512, zsa_sig=0.16,
             k_mu=0.0, k_sig=0.0, r_tau=2.3, num_clusters=20,
-            c_asd=2.0, c_asa=15.0, xpr_mu=7.0, xpr_sig=3.0, zeta=3.0,
+            c_asd=2.0, c_asa=15.0, c_zsa=7.0,
+            xpr_mu=7.0, xpr_sig=3.0, zeta=3.0,
             c_ds_ns=c_ds),
     }
+
+
+def zsd_lg_params(scenario: str, state: str, d2d, h_ut, h_bs,
+                  fc_ghz: float = 2.14):
+    """ZSD lognormal mean/std + mean ZOD offset (Tables 7.5-7/8 scenario
+    formulas; degrees). d2d may be an array; returns (mu_lg, sigma_lg,
+    zod_offset_deg)."""
+    d_km = d2d / 1000.0
+    if scenario == "umi":
+        if state == "los":
+            mu = jnp.maximum(-0.21, -14.8 * d_km + 0.01 * abs(h_ut - h_bs)
+                             + 0.83)
+            return mu, 0.35, jnp.zeros_like(d2d)
+        mu = jnp.maximum(-0.5, -3.1 * d_km
+                         + 0.01 * max(h_ut - h_bs, 0.0) + 0.2)
+        off = -(10 ** (-1.5 * jnp.log10(jnp.maximum(d2d, 10.0)) + 3.3))
+        return mu, 0.35, off
+    # UMa (fc floored at 6 GHz like the other UMa LSP formulas)
+    lf = np.log10(max(fc_ghz, 6.0))
+    if state == "los":
+        mu = jnp.maximum(-0.5, -2.1 * d_km - 0.01 * (h_ut - 1.5) + 0.75)
+        return mu, 0.40, jnp.zeros_like(d2d)
+    mu = jnp.maximum(-0.5, -2.1 * d_km - 0.01 * (h_ut - 1.5) + 0.9)
+    # Table 7.5-8 ZOD offset
+    off = (7.66 * lf - 5.96
+           - 10 ** ((0.208 * lf - 0.782)
+                    * jnp.log10(jnp.maximum(d2d, 25.0))
+                    - 0.13 * lf + 2.03 - 0.07 * (h_ut - 1.5)))
+    return mu, 0.49, off
+
+
+def mirror_zenith(theta_deg):
+    """Fold zenith angles into [0, 180] (38.901 step 7b mirroring)."""
+    t = jnp.mod(theta_deg, 360.0)
+    return jnp.where(t > 180.0, 360.0 - t, t)
 
 
 def _los_probability(d2d, scenario):
@@ -142,9 +189,12 @@ def _los_probability(d2d, scenario):
         + jnp.exp(-d2d / 63.0)
 
 
-def _bs_element_gain_db(phi_deg):
-    """38.901 element azimuth power pattern (65 deg HPBW, 30 dB FBR)."""
-    return -jnp.minimum(12.0 * (phi_deg / 65.0) ** 2, 30.0)
+def _bs_element_gain_db(phi_deg, theta_deg=90.0):
+    """38.901 §7.3 element power pattern: 65 deg HPBW in both cuts,
+    30 dB side-lobe floor; A(theta,phi) = -min(-(A_V + A_H), 30)."""
+    a_v = jnp.minimum(12.0 * ((theta_deg - 90.0) / 65.0) ** 2, 30.0)
+    a_h = jnp.minimum(12.0 * (phi_deg / 65.0) ** 2, 30.0)
+    return -jnp.minimum(a_v + a_h, 30.0)
 
 
 class UMiUMaChannel:
@@ -176,6 +226,8 @@ class UMiUMaChannel:
         self.normalize = normalize
         self.cell_radius = cell_radius if scenario == "umi" else 250.0
         self.min_dist = min_dist if scenario == "umi" else 35.0
+        self.h_bs = 10.0 if scenario == "umi" else 25.0
+        self.h_ut = 1.5
         self.wavelength = SPEED_OF_LIGHT / carrier_frequency
         # BS: dual-pol cross columns (num_rx_ant/2 columns x 2 pols),
         # half-wavelength spacing ULA. UT: vertical single-pol columns.
@@ -257,6 +309,31 @@ class UMiUMaChannel:
         cl_mask = (jnp.arange(NC)[None, None, :]
                    < n_active[..., None]).astype(jnp.float32)
 
+        # ---- zenith LSPs (step 4b; independent of the azimuth block) --
+        kz = [jax.random.fold_in(ks[15], i) for i in range(8)]
+        fc_ghz = self.fc / 1e9
+        zsa = jnp.minimum(sel(
+            10 ** (pl["zsa_mu"] + pl["zsa_sig"]
+                   * jax.random.normal(kz[0], shape)),
+            10 ** (pn["zsa_mu"] + pn["zsa_sig"]
+                   * jax.random.normal(kz[1], shape))), 52.0)
+        zl_mu, zl_sig, zl_off = zsd_lg_params(self.scenario, "los", d2d,
+                                              self.h_ut, self.h_bs, fc_ghz)
+        zn_mu, zn_sig, zn_off = zsd_lg_params(self.scenario, "nlos", d2d,
+                                              self.h_ut, self.h_bs, fc_ghz)
+        zsd = jnp.minimum(sel(
+            10 ** (zl_mu + zl_sig * jax.random.normal(kz[2], shape)),
+            10 ** (zn_mu + zn_sig * jax.random.normal(kz[3], shape))), 52.0)
+        mu_lg_zsd = sel(zl_mu, zn_mu)
+        zod_off = sel(zl_off, zn_off)
+        c_zsa = sel(jnp.full(shape, pl["c_zsa"]),
+                    jnp.full(shape, pn["c_zsa"]))
+        # geometric LOS zenith: arrival at the BS / departure at the UT
+        d3d = jnp.sqrt(d2d ** 2 + (self.h_bs - self.h_ut) ** 2)
+        th_los_zoa = jnp.rad2deg(jnp.arccos(
+            (self.h_ut - self.h_bs) / d3d))  # UT below BS -> >90 deg
+        th_los_zod = 180.0 - th_los_zoa
+
         # ---- cluster delays & powers (7.5 steps 5-6) ------------------
         u_tau = jax.random.uniform(ks[8], shape + (NC,), minval=1e-6,
                                    maxval=1.0)
@@ -327,6 +404,37 @@ class UMiUMaChannel:
         phi_aoa_r = phi_aoa[..., None] + c_asa[..., None, None] * offs
         phi_aod_r = phi_aod[..., None] + c_asd[..., None, None] * offs
 
+        # ---- zenith angles (step 7b, inverse-Laplacian method) --------
+        c_th_n = {8: 0.889, 10: 0.957, 11: 1.031, 12: 1.104, 15: 1.1088,
+                  16: 1.1088, 19: 1.184, 20: 1.178}
+        c_th = sel(jnp.full(shape, c_th_n.get(pl["num_clusters"], 1.104))
+                   * (1.3086 + 0.0339 * k_db_s - 0.0077 * k_db_s ** 2
+                      + 0.0002 * k_db_s ** 3),
+                   jnp.full(shape, c_th_n.get(pn["num_clusters"], 1.184)))
+
+        def cluster_zenith(center, spread_deg, key1, key2):
+            pmax = jnp.max(p_cl, -1, keepdims=True)
+            neg_log = jnp.maximum(
+                -jnp.log(p_cl / jnp.maximum(pmax, 1e-12) + 1e-12), 0.0)
+            th_p = spread_deg[..., None] * neg_log \
+                / jnp.maximum(c_th[..., None], 1e-6)
+            xn = jax.random.choice(key1, jnp.asarray([-1.0, 1.0]),
+                                   shape + (NC,))
+            yn = (spread_deg[..., None] / 7.0) \
+                * jax.random.normal(key2, shape + (NC,))
+            return xn * th_p + yn + center[..., None]
+
+        th_zoa = cluster_zenith(th_los_zoa, zsa, kz[4], kz[5])
+        th_zod = cluster_zenith(th_los_zod + zod_off, zsd, kz[6], kz[7])
+        # rays: ZOA spreads by c_ZSA, ZOD by (3/8)*10^mu_lgZSD (7.5-20)
+        th_zoa_r = mirror_zenith(
+            th_zoa[..., None] + c_zsa[..., None, None] * offs)
+        th_zod_r = mirror_zenith(
+            th_zod[..., None]
+            + (3.0 / 8.0) * (10 ** mu_lg_zsd)[..., None, None] * offs)
+        sin_zoa_r = jnp.sin(jnp.deg2rad(th_zoa_r))
+        sin_zod_r = jnp.sin(jnp.deg2rad(th_zod_r))
+
         # ---- per-ray random phases & XPR (step 9-10) ------------------
         # field matrix entries for [theta-theta, theta-phi, phi-theta,
         # phi-phi]; with 2D geometry we track the 2x2 pol matrix directly
@@ -343,15 +451,16 @@ class UMiUMaChannel:
         m_pp = jnp.exp(1j * ph[..., 3])
 
         # ---- antenna responses ----------------------------------------
-        # BS ULA columns at lambda/2; steering over AoA.
+        # BS ULA columns at lambda/2 along y: spatial frequency
+        # sin(zenith)*sin(azimuth) (3D geometry; zenith from step 7b).
         d_bs = 0.5
         ar = jnp.deg2rad(phi_aoa_r)  # [B,T,NC,NR]
         col_idx = jnp.arange(self.num_bs_cols)
         steer_bs = jnp.exp(
             1j * 2 * np.pi * d_bs
             * col_idx[None, None, None, None, :]
-            * jnp.sin(ar)[..., None])  # [B,T,NC,NR,cols]
-        elem_gain = 10 ** (_bs_element_gain_db(phi_aoa_r) / 20.0)
+            * (sin_zoa_r * jnp.sin(ar))[..., None])  # [B,T,NC,NR,cols]
+        elem_gain = 10 ** (_bs_element_gain_db(phi_aoa_r, th_zoa_r) / 20.0)
         steer_bs = steer_bs * elem_gain[..., None]
         # UT ULA over AoD, omni elements, single pol (vertical)
         d_ut = 0.5
@@ -360,7 +469,7 @@ class UMiUMaChannel:
         steer_ut = jnp.exp(
             1j * 2 * np.pi * d_ut
             * ut_idx[None, None, None, None, :]
-            * jnp.sin(ad)[..., None])  # [B,T,NC,NR,ut]
+            * (sin_zod_r * jnp.sin(ad))[..., None])  # [B,T,NC,NR,ut]
 
         # BS dual-pol: +45/-45 slant -> field components (F_theta, F_phi)
         # = (cos45, +/- sin45); UT vertical: (1, 0).
@@ -372,7 +481,7 @@ class UMiUMaChannel:
         # ---- Doppler over the slot ------------------------------------
         t = jnp.arange(num_symbols, dtype=jnp.float32) * symbol_duration
         v_ms = speed[..., None, None]
-        doppler = (v_ms / self.wavelength) \
+        doppler = (v_ms / self.wavelength) * sin_zoa_r \
             * jnp.cos(jnp.deg2rad(phi_aoa_r) - v_dir[..., None, None])
         ray_phase_t = jnp.exp(
             1j * 2 * np.pi * doppler[..., None] * t)  # [B,T,NC,NR,sym]
@@ -393,14 +502,19 @@ class UMiUMaChannel:
         g_m = mimo_taps(amp_m) if self.bs_dual_pol else None
 
         # LOS specular ray on the direct path (cluster 0 delay)
+        sin_zoa_los = jnp.sin(jnp.deg2rad(th_los_zoa))
+        sin_zod_los = jnp.sin(jnp.deg2rad(th_los_zod))
         los_bs = jnp.exp(1j * 2 * np.pi * d_bs * col_idx[None, None, :]
-                         * jnp.sin(jnp.deg2rad(phi_los_aoa))[..., None]) \
-            * (10 ** (_bs_element_gain_db(phi_los_aoa) / 20.0))[..., None]
+                         * (sin_zoa_los
+                            * jnp.sin(jnp.deg2rad(phi_los_aoa)))[..., None]) \
+            * (10 ** (_bs_element_gain_db(phi_los_aoa,
+                                          th_los_zoa) / 20.0))[..., None]
         los_ut = jnp.exp(1j * 2 * np.pi * d_ut * ut_idx[None, None, :]
-                         * jnp.sin(jnp.deg2rad(phi_los_aod))[..., None])
+                         * (sin_zod_los
+                            * jnp.sin(jnp.deg2rad(phi_los_aod)))[..., None])
         los_phase0 = jax.random.uniform(ks[14], shape, minval=-np.pi,
                                         maxval=np.pi)
-        dop_los = (speed / self.wavelength) \
+        dop_los = (speed / self.wavelength) * sin_zoa_los \
             * jnp.cos(jnp.deg2rad(phi_los_aoa) - v_dir)
         los_t = jnp.exp(1j * (los_phase0[..., None]
                               + 2 * np.pi * dop_los[..., None] * t))
