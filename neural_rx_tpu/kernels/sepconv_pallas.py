@@ -73,6 +73,8 @@ def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None):
         if li < n_hidden:
             y = jnp.maximum(y, 0.0)
         x = y.reshape(h, w, -1).astype(out_dtype)
+    if in_grid is not None:  # out layer's pad columns zeroed as well
+        x = jnp.where(in_grid, x, 0).astype(x.dtype)
     return x
 
 
@@ -89,15 +91,28 @@ def _flatten_weights(layers, dtype):
     return ops, specs
 
 
-def _stack_kernel(n_hidden, out_dtype, x_ref, *refs):
-    """refs: (dw, pw, b) per layer (hidden... then out), then out_ref."""
+def _stack_kernel(n_hidden, out_dtype, w_static, valid_ref, x_ref, *refs):
+    """refs: (dw, pw, b) per layer (hidden... then out), then out_ref.
+    valid_ref (SMEM [1]): number of leading valid W columns; columns
+    beyond it are re-zeroed before every layer (exact pad-to-bucket
+    semantics, see rx/cgnn._apply_conv_stack)."""
     out_ref = refs[-1]
-    out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype)
+    valid = valid_ref[0]
+    in_grid = None
+    if w_static is not None:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, w_static, 1), 1)
+        in_grid = col < valid
+    out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype,
+                            in_grid=in_grid)
 
 
-def fused_conv_stack(p, x, interpret: bool | None = None):
+def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None):
     """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
     hidden layer, linear output layer. x: [N, H, W, C_in].
+
+    sc_valid (optional int32 scalar): number of leading valid W columns
+    when the grid is padded to a PRB bucket; the kernel re-zeros the pad
+    before every layer so results match a direct-width run.
 
     Dispatches to the W-blocked overlap-save variant when the
     whole-grid VMEM working set would be too large (wide grids, f32).
@@ -107,15 +122,24 @@ def fused_conv_stack(p, x, interpret: bool | None = None):
     n, h, w, c_in = x.shape
     widths = [c_in] + [lp["pw"].shape[1] for lp in p["hidden"]]
     widths.append(p["out"]["pw"].shape[1])
+    if sc_valid is None:
+        sc_valid = jnp.int32(w)
+        masked = False
+    else:
+        sc_valid = jnp.asarray(sc_valid, jnp.int32)
+        masked = True
     # input + widest intermediate (held twice across a layer boundary)
     per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
     if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
-        return fused_conv_stack_blocked(p, x, interpret=interpret)
-    return _fused_conv_stack_whole(p, x, interpret=interpret)
+        return fused_conv_stack_blocked(p, x, interpret=interpret,
+                                        sc_valid=sc_valid)
+    return _fused_conv_stack_whole(p, x, sc_valid, masked,
+                                   interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _fused_conv_stack_whole(p, x, interpret: bool | None = None):
+@functools.partial(jax.jit, static_argnames=("masked", "interpret"))
+def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
+                            interpret: bool | None = None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]
@@ -124,18 +148,20 @@ def _fused_conv_stack_whole(p, x, interpret: bool | None = None):
     dtype = x.dtype
 
     ops, specs = _flatten_weights(layers, dtype)
-    kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype)
+    kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype,
+                               w if masked else None)
     return pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[pl.BlockSpec((1, h, w, x.shape[-1]),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((1, h, w, x.shape[-1]),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)] + specs,
         out_specs=pl.BlockSpec((1, h, w, c_out), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), dtype),
         interpret=interpret,
-    )(x, *ops)
+    )(sc_valid.reshape(1), x, *ops)
 
 
 # ---------------------------------------------------------------------------
@@ -150,15 +176,18 @@ def _fused_conv_stack_whole(p, x, interpret: bool | None = None):
 # ---------------------------------------------------------------------------
 
 
-def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb, w_true,
-                          out_dtype, x_hbm, *refs):
+def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb,
+                          out_dtype, valid_ref, x_hbm, *refs):
     """Grid over batch; W-blocks loop inside with double-buffered input
-    DMA (guide pattern: prefetch block wb+1 while computing wb)."""
+    DMA (guide pattern: prefetch block wb+1 while computing wb).
+    valid_ref (SMEM [1]): leading valid column count (== grid width for
+    plain runs; smaller under pad-to-bucket dispatch)."""
     out_ref = refs[-3]
     xbuf = refs[-2]      # [2, H, w_blk + 2*halo, C_in]
     sem = refs[-1]       # DMA semaphores, shape (2,)
     wrefs = refs[:-3]
     n = pl.program_id(0)
+    w_true = valid_ref[0]
     w_ext = w_blk + 2 * halo
 
     def get_dma(slot, wb):
@@ -191,10 +220,12 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb, w_true,
 
 @functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))
 def fused_conv_stack_blocked(p, x, w_blk: int = 512,
-                             interpret: bool | None = None):
+                             interpret: bool | None = None,
+                             sc_valid=None):
     """W-blocked `fused_conv_stack` for wide grids. x: [N, H, W, C_in];
     W is padded up to a multiple of w_blk internally (zero columns, then
-    cropped), so any subcarrier count works."""
+    cropped), so any subcarrier count works. sc_valid: see
+    fused_conv_stack (defaults to the full width)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]
@@ -202,6 +233,9 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
     n, h, w, c_in = x.shape
     c_out = layers[-1]["pw"].shape[1]
     dtype = x.dtype
+    if sc_valid is None:
+        sc_valid = jnp.int32(w)
+    sc_valid = jnp.asarray(sc_valid, jnp.int32)
 
     n_wb = -(-w // w_blk)
     w_pad = n_wb * w_blk
@@ -210,11 +244,12 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
 
     ops, specs = _flatten_weights(layers, dtype)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
-                               halo, w_blk, n_wb, w, dtype)
+                               halo, w_blk, n_wb, dtype)
     out = pl.pallas_call(
         kernel,
         grid=(n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + specs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.ANY)] + specs,
         out_specs=pl.BlockSpec((1, h, w_pad, c_out),
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -224,5 +259,5 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(x_ext, *ops)
+    )(sc_valid.reshape(1), x_ext, *ops)
     return out[:, :, :w, :]

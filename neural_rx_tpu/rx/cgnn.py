@@ -106,17 +106,23 @@ def _apply_conv(p, x):
     return y + p["b"].astype(x.dtype)
 
 
-def _apply_conv_stack(p, x, layer_type, fused: bool = False, sc_mask=None):
-    """sc_mask (optional [1, 1, W, 1]): re-zero padded subcarriers after
-    EVERY conv layer. Needed for exact pad-to-bucket dispatch: conv biases
-    otherwise make pad-region activations nonzero, and the next 3x3 conv
-    bleeds them into the valid region, diverging from the direct-shape
-    execution (which sees implicit zero padding at the band edge)."""
-    if fused and layer_type == "sepconv" and sc_mask is None:
+def _apply_conv_stack(p, x, layer_type, fused: bool = False,
+                      sc_valid=None):
+    """sc_valid (optional int32 scalar): re-zero subcarrier columns >=
+    sc_valid after EVERY conv layer. Needed for exact pad-to-bucket
+    dispatch: conv biases otherwise make pad-region activations nonzero,
+    and the next 3x3 conv bleeds them into the valid region, diverging
+    from the direct-shape execution (which sees implicit zero padding at
+    the band edge). Both the XLA and the fused-pallas paths honor it."""
+    if fused and layer_type == "sepconv":
         # single pallas kernel, activations stay in VMEM (kernels/)
         from ..kernels.sepconv_pallas import fused_conv_stack
-        return fused_conv_stack(p, x)
+        return fused_conv_stack(p, x, sc_valid=sc_valid)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
+
+    sc_mask = None
+    if sc_valid is not None:
+        sc_mask = (jnp.arange(x.shape[2]) < sc_valid)[None, None, :, None]
 
     def m(v):
         return v if sc_mask is None else v * sc_mask.astype(v.dtype)
@@ -225,13 +231,13 @@ def _aggregate_user_states(p, s, active_tx, dtype):
 
 
 def _update_state(p, s, a, pe, layer_type, fused: bool = False,
-                  sc_mask=None):
+                  sc_valid=None):
     """Conv state update with residual skip (reference :210-270)."""
     b, t = s.shape[0], s.shape[1]
     pe_b = jnp.broadcast_to(pe[None], (b,) + pe.shape)
     z = jnp.concatenate([a, s, pe_b], axis=-1)
     z = z.reshape((b * t,) + z.shape[2:])
-    z = _apply_conv_stack(p, z, layer_type, fused, sc_mask)
+    z = _apply_conv_stack(p, z, layer_type, fused, sc_valid)
     return z.reshape((b, t) + z.shape[1:]) + s
 
 
@@ -248,11 +254,10 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     sc_valid (optional int32 scalar, traceable): number of valid leading
     subcarriers when the grid is padded to a PRB bucket (deploy/aot).
     When set, the power norm averages over valid REs only and every conv
-    layer re-zeros the padded region, so the LLRs over the valid
-    subcarriers are identical to a direct execution at the valid width
-    (the XLA analog of the reference's dynamic-shape TRT profiles,
-    export_onnx.py:147-160). The fused-pallas conv path does not carry
-    the mask, so it is bypassed when sc_valid is given.
+    layer re-zeros the padded region (in both the XLA and fused-pallas
+    conv paths), so the LLRs over the valid subcarriers are identical to
+    a direct execution at the valid width (the XLA analog of the
+    reference's dynamic-shape TRT profiles, export_onnx.py:147-160).
 
     Returns (llrs, h_hats): llrs is a list over readout points, each a
     list over MCS of [b, T, sym, sc, num_bits]; h_hats a list of
@@ -294,7 +299,7 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
 
     def run_init(p):
         s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,
-                              cfg.fused_convs, sc_mask)
+                              cfg.fused_convs, sc_valid)
         return s.reshape((b, t) + s.shape[1:])
 
     if cfg.var_mcs_masking:
@@ -311,7 +316,7 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
         it_p = params["iterations"][i]
         a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
         s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv,
-                          cfg.fused_convs, sc_mask)
+                          cfg.fused_convs, sc_valid)
         if (training and apply_multiloss) or i == num_it - 1:
             per_mcs = []
             for idx in range(cfg.num_mcs):

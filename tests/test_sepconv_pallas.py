@@ -80,3 +80,57 @@ def test_dispatch_picks_blocked_for_wide_f32():
     want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
     got = np.asarray(fused_conv_stack(p, x, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("w,valid,blocked", [
+    (48, 36, False),   # whole-grid variant
+    (640, 600, True),  # W-blocked variant (force via direct call)
+])
+def test_sc_valid_matches_direct_width(w, valid, blocked):
+    """Pad-to-bucket: fused stack on a padded grid with sc_valid must
+    equal the fused stack run directly at the valid width (pad columns
+    re-zeroed before every layer == implicit SAME zero padding)."""
+    from neural_rx_tpu.kernels.sepconv_pallas import fused_conv_stack_blocked
+    p = _init_conv_stack(jax.random.PRNGKey(8), 12, [16, 16], 8, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 14, valid, 12),
+                          jnp.float32)
+    x_pad = jnp.pad(x, ((0, 0), (0, 0), (0, w - valid), (0, 0)))
+    if blocked:
+        want = np.asarray(fused_conv_stack_blocked(p, x, w_blk=128,
+                                                   interpret=True))
+        got = np.asarray(fused_conv_stack_blocked(
+            p, x_pad, w_blk=128, interpret=True,
+            sc_valid=jnp.int32(valid)))
+    else:
+        want = np.asarray(fused_conv_stack(p, x, interpret=True))
+        got = np.asarray(fused_conv_stack(p, x_pad, interpret=True,
+                                          sc_valid=jnp.int32(valid)))
+    np.testing.assert_allclose(got[:, :, :valid], want,
+                               rtol=2e-5, atol=2e-5)
+    # the pad region itself comes out zeroed
+    assert np.all(got[:, :, valid:] == 0)
+
+
+def test_cgnn_padded_fused_matches_unfused():
+    """cgnn_apply with sc_valid takes the fused path too and matches the
+    XLA masked path."""
+    import dataclasses
+    from neural_rx_tpu.rx.cgnn import (CGNNConfig, init_cgnn_params,
+                                       cgnn_apply)
+    cfg = CGNNConfig(num_bits_per_symbol=(4,), num_rx_ant=4, num_it=2,
+                     d_s=24, num_units_init=(32,), num_units_agg=((16,),) * 2,
+                     num_units_state=((32,),) * 2, num_units_readout=(16,))
+    params = init_cgnn_params(jax.random.PRNGKey(0), cfg)
+    b, t, sym, sc, valid = 1, 2, 14, 48, 36
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, sym, sc, 8))
+    pe = jax.random.normal(jax.random.PRNGKey(2), (t, sym, sc, 2))
+    h = jax.random.normal(jax.random.PRNGKey(3), (b, t, sym, sc, 8))
+    act = jnp.ones((b, t))
+    mm = jnp.ones((b, t, 1))
+    sv = jnp.int32(valid)
+    want, _ = cgnn_apply(params, cfg, y, pe, h, act, mm, sc_valid=sv)
+    cfg_f = dataclasses.replace(cfg, fused_convs=True)
+    got, _ = cgnn_apply(params, cfg_f, y, pe, h, act, mm, sc_valid=sv)
+    np.testing.assert_allclose(np.asarray(got[-1][0]),
+                               np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
