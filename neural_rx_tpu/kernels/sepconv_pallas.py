@@ -93,26 +93,40 @@ def _flatten_weights(layers, dtype):
 
 def _stack_kernel(n_hidden, out_dtype, w_static, valid_ref, x_ref, *refs):
     """refs: (dw, pw, b) per layer (hidden... then out), then out_ref.
-    valid_ref (SMEM [1]): number of leading valid W columns; columns
-    beyond it are re-zeroed before every layer (exact pad-to-bucket
-    semantics, see rx/cgnn._apply_conv_stack)."""
+    valid_ref (SMEM [2]): the [lo, hi) valid W-column range; columns
+    outside it are re-zeroed before every layer and after the last
+    (exact pad-to-bucket / shard-halo semantics, see
+    rx/cgnn._apply_conv_stack and dist/fused_sharded.py)."""
     out_ref = refs[-1]
-    valid = valid_ref[0]
     in_grid = None
     if w_static is not None:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, w_static, 1), 1)
-        in_grid = col < valid
+        in_grid = (col >= valid_ref[0]) & (col < valid_ref[1])
     out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype,
                             in_grid=in_grid)
+
+
+def _valid_range(sc_valid, w):
+    """Normalize the valid-column spec to an int32 [lo, hi) pair.
+    Accepts None (full width), a scalar (leading-valid count), or an
+    explicit (lo, hi) pair. Returns (array [2], masked: bool)."""
+    if sc_valid is None:
+        return jnp.asarray([0, w], jnp.int32), False
+    sc_valid = jnp.asarray(sc_valid, jnp.int32)
+    if sc_valid.ndim == 0:
+        return jnp.stack([jnp.int32(0), sc_valid]), True
+    assert sc_valid.shape == (2,)
+    return sc_valid, True
 
 
 def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None):
     """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
     hidden layer, linear output layer. x: [N, H, W, C_in].
 
-    sc_valid (optional int32 scalar): number of leading valid W columns
-    when the grid is padded to a PRB bucket; the kernel re-zeros the pad
-    before every layer so results match a direct-width run.
+    sc_valid (optional): leading-valid column count, or an explicit
+    (lo, hi) pair — columns outside the valid range (bucket padding /
+    shard halos at a band edge) are re-zeroed per layer so results match
+    a direct-width run.
 
     Dispatches to the W-blocked overlap-save variant when the
     whole-grid VMEM working set would be too large (wide grids, f32).
@@ -122,19 +136,13 @@ def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None):
     n, h, w, c_in = x.shape
     widths = [c_in] + [lp["pw"].shape[1] for lp in p["hidden"]]
     widths.append(p["out"]["pw"].shape[1])
-    if sc_valid is None:
-        sc_valid = jnp.int32(w)
-        masked = False
-    else:
-        sc_valid = jnp.asarray(sc_valid, jnp.int32)
-        masked = True
+    vr, masked = _valid_range(sc_valid, w)
     # input + widest intermediate (held twice across a layer boundary)
     per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
     if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
         return fused_conv_stack_blocked(p, x, interpret=interpret,
-                                        sc_valid=sc_valid)
-    return _fused_conv_stack_whole(p, x, sc_valid, masked,
-                                   interpret=interpret)
+                                        sc_valid=vr)
+    return _fused_conv_stack_whole(p, x, vr, masked, interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("masked", "interpret"))
@@ -161,7 +169,7 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), dtype),
         interpret=interpret,
-    )(sc_valid.reshape(1), x, *ops)
+    )(sc_valid, x, *ops)
 
 
 # ---------------------------------------------------------------------------
@@ -187,7 +195,7 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb,
     sem = refs[-1]       # DMA semaphores, shape (2,)
     wrefs = refs[:-3]
     n = pl.program_id(0)
-    w_true = valid_ref[0]
+    lo, hi = valid_ref[0], valid_ref[1]
     w_ext = w_blk + 2 * halo
 
     def get_dma(slot, wb):
@@ -210,7 +218,7 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb,
         col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
                + wb * w_blk - halo)
         x = _run_stack(xbuf[slot], wrefs, n_hidden, out_dtype,
-                       in_grid=(col >= 0) & (col < w_true))
+                       in_grid=(col >= lo) & (col < hi))
         out_ref[0, :, pl.ds(wb * w_blk, w_blk), :] = (
             x[:, halo:halo + w_blk, :])
         return _
@@ -233,9 +241,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
     n, h, w, c_in = x.shape
     c_out = layers[-1]["pw"].shape[1]
     dtype = x.dtype
-    if sc_valid is None:
-        sc_valid = jnp.int32(w)
-    sc_valid = jnp.asarray(sc_valid, jnp.int32)
+    sc_valid, _ = _valid_range(sc_valid, w)
 
     n_wb = -(-w // w_blk)
     w_pad = n_wb * w_blk
@@ -259,5 +265,5 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(sc_valid.reshape(1), x_ext, *ops)
+    )(sc_valid, x_ext, *ops)
     return out[:, :, :w, :]

@@ -134,3 +134,30 @@ def test_cgnn_padded_fused_matches_unfused():
     np.testing.assert_allclose(np.asarray(got[-1][0]),
                                np.asarray(want[-1][0]),
                                rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("n_grid", [4, 8])
+def test_sharded_fused_matches_unsharded(n_grid):
+    """Fused stack under shard_map grid sharding (explicit halo
+    exchange over the ring) == unsharded fused stack, including the
+    band-edge shards."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from neural_rx_tpu.dist.fused_sharded import fused_conv_stack_sharded
+
+    devs = np.asarray(jax.devices()[:n_grid]).reshape(1, n_grid)
+    mesh = Mesh(devs, ("data", "grid"))
+    p = _init_conv_stack(jax.random.PRNGKey(10), 12, [16, 16], 8,
+                         "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 14, 96, 12),
+                          jnp.float32)
+    want = np.asarray(fused_conv_stack(p, x, interpret=True))
+
+    fn = shard_map(
+        partial(fused_conv_stack_sharded, num_shards=n_grid,
+                interpret=True),
+        mesh=mesh, in_specs=(P(), P(None, None, "grid", None)),
+        out_specs=P(None, None, "grid", None), check_rep=False)
+    got = np.asarray(jax.jit(fn)(p, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
