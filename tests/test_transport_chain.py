@@ -237,6 +237,42 @@ class TestSpecTableLoader:
         assert not ldpc_tables.spec_tables_active()
 
 
+class TestOracleEncoder:
+    """The structured JAX encoder must agree bit-for-bit with the
+    native C++ oracle (generic GF(2) elimination on the lifted core
+    system — an algorithmically independent path over the same table)."""
+
+    @pytest.mark.parametrize("bg,z", [(1, 384), (1, 52), (2, 224),
+                                      (2, 64), (2, 13)])
+    def test_structured_equals_generic(self, bg, z):
+        from neural_rx_tpu.phy.nr.ldpc_oracle import encode_oracle
+        code = get_code(bg, z)
+        rng = np.random.default_rng(bg * 1000 + z)
+        for _ in range(3):
+            info = rng.integers(0, 2, code.k)
+            want = encode_oracle(code, info)
+            got = np.asarray(encode(
+                code, jnp.asarray(info[None], jnp.float32)))[0]
+            np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+    def test_oracle_agrees_under_loaded_table(self, spec_table_dir):
+        """Same agreement through the spec-CSV load path with a
+        non-trivial special column (odd-one-out roll)."""
+        from neural_rx_tpu.phy.nr.ldpc_oracle import encode_oracle
+        table = _make_full_table(2)
+        k_b = BG_PARAMS[2]["k_b"]
+        for r, v in zip(SPECIAL_ROWS[2], (5, 17, 5)):
+            table[(r, k_b)][1] = v
+        _write_csv(spec_table_dir / "nr_ldpc_bg2_shifts.csv", table)
+        code = get_code(2, 96)  # set 1
+        rng = np.random.default_rng(9)
+        info = rng.integers(0, 2, code.k)
+        want = encode_oracle(code, info)
+        got = np.asarray(encode(
+            code, jnp.asarray(info[None], jnp.float32)))[0]
+        np.testing.assert_array_equal(got.astype(np.uint8), want)
+
+
 class TestGoldenVectors:
     """Bit-exact regression vectors (scripts/make_ldpc_golden.py). With
     the true 38.212 CSVs dropped into phy/nr/data/, regenerating the
