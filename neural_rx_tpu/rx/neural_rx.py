@@ -40,7 +40,12 @@ class NeuralPUSCHReceiver:
                  initial_chest: str | None = "ls",
                  mask_pilots: bool = False,
                  nrx_dtype=jnp.float32,
-                 fused_convs: bool = False):
+                 fused_convs: bool | None = None):
+        if fused_convs is None:
+            # deployment switch: flipped once the on-chip A/B
+            # (scripts/bench_fused_convs.py) decides the winner
+            import os
+            fused_convs = os.environ.get("NRX_FUSED_CONVS", "0") == "1"
         self.transmitters = list(transmitters)  # one per MCS
         self.rg = self.transmitters[0].resource_grid
         self.num_rx_ant = num_rx_ant
