@@ -57,6 +57,39 @@ def lmmse_equalize(y, h, no):
 # K-Best detection
 # ---------------------------------------------------------------------------
 
+def _qr_small(h, max_unrolled: int = 4):
+    """Batched thin QR for few-stream MIMO channels.
+
+    XLA's generic `jnp.linalg.qr` lowers to Householder loops that
+    serialize badly on TPU for huge batches of tiny matrices; modified
+    Gram-Schmidt unrolled over the (static, small) stream count is pure
+    batched einsum/VPU work. Any valid QR gives identical K-Best
+    detection (only A = QR with orthonormal Q is required), so the
+    convention difference vs linalg.qr is irrelevant.
+    """
+    s = h.shape[-1]
+    if s > max_unrolled:
+        return jnp.linalg.qr(h)
+    qs, rows = [], []
+    for j in range(s):
+        v = h[..., :, j]
+        rj = []
+        for i in range(j):
+            rij = jnp.sum(jnp.conj(qs[i]) * v, axis=-1)
+            v = v - rij[..., None] * qs[i]
+            rj.append(rij)
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=-1))
+        safe = jnp.maximum(nrm, 1e-20)
+        qs.append(v / safe[..., None].astype(v.dtype))
+        rj.append(nrm.astype(h.dtype))
+        rj += [jnp.zeros_like(nrm).astype(h.dtype)] * (s - j - 1)
+        rows.append(jnp.stack(rj, axis=-1))  # row j? (see stack below)
+    q = jnp.stack(qs, axis=-1)  # [..., ant, S]
+    # rows[j][..., i] currently holds r[i, j] for i<=j -> stack as cols
+    r = jnp.stack(rows, axis=-1)  # [..., i, j]
+    return q, r
+
+
 def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
                  llr_clip: float = 20.0):
     """K-Best MIMO detection with max-log LLRs from the survivor list.
@@ -75,7 +108,7 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
     n_pts = points.shape[0]
     n_streams = h.shape[-1]
 
-    q, r = jnp.linalg.qr(h)  # q: [..., ant, S], r: [..., S, S]
+    q, r = _qr_small(h)  # q: [..., ant, S], r: [..., S, S]
     z = jnp.einsum("...as,...a->...s", jnp.conj(q), y)
 
     # level 0: last stream

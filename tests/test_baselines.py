@@ -148,3 +148,41 @@ class TestBaselineE2E:
             lambda k: m({}, k, 2, jnp.float32(15.0)))(jax.random.PRNGKey(1))
         assert b.shape == b_hat.shape
         assert np.isfinite(np.asarray(crc)).all()
+
+
+class TestQRSmall:
+    def test_qr_reconstructs_and_orthonormal(self):
+        from neural_rx_tpu.rx.baselines import _qr_small
+        rng = np.random.default_rng(3)
+        h = jnp.asarray(rng.normal(size=(64, 4, 2))
+                        + 1j * rng.normal(size=(64, 4, 2)),
+                        jnp.complex64)
+        q, r = _qr_small(h)
+        np.testing.assert_allclose(
+            np.asarray(jnp.einsum("...as,...sj->...aj", q, r)),
+            np.asarray(h), rtol=1e-5, atol=1e-5)
+        eye = jnp.einsum("...as,...at->...st", jnp.conj(q), q)
+        np.testing.assert_allclose(np.asarray(eye),
+                                   np.broadcast_to(np.eye(2), (64, 2, 2)),
+                                   rtol=1e-5, atol=1e-5)
+        # upper triangular with real positive diagonal
+        assert np.allclose(np.asarray(r[:, 1, 0]), 0)
+        assert np.all(np.asarray(r[:, 0, 0]).real > 0)
+
+    def test_kbest_equals_linalg_qr_path(self):
+        from neural_rx_tpu.rx import baselines
+        rng = np.random.default_rng(4)
+        h = jnp.asarray(rng.normal(size=(32, 4, 2))
+                        + 1j * rng.normal(size=(32, 4, 2)),
+                        jnp.complex64)
+        y = jnp.asarray(rng.normal(size=(32, 4))
+                        + 1j * rng.normal(size=(32, 4)), jnp.complex64)
+        llr_mgs = np.asarray(kbest_detect(y, h, 0.1, 4, k=64))
+        orig = baselines._qr_small
+        try:
+            baselines._qr_small = jnp.linalg.qr
+            llr_house = np.asarray(kbest_detect(y, h, 0.1, 4, k=64))
+        finally:
+            baselines._qr_small = orig
+        np.testing.assert_allclose(llr_mgs, llr_house, rtol=1e-3,
+                                   atol=1e-3)
