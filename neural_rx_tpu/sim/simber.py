@@ -50,8 +50,11 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             target_bler: float | None = None,
             mcs_arr_eval_idx: int = 0, num_it: int | None = None,
             seed: int = 0, verbose: bool = True, mesh=None,
-            fast_ldpc: bool = False):
-    """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs.
+            fast_ldpc: bool = False, return_counts: bool = False):
+    """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs;
+    with return_counts=True additionally (block_errors, num_blocks)
+    integer arrays so callers can attach binomial confidence intervals
+    (see `bler_confidence_interval`).
 
     Early stop per SNR point once `num_target_block_errors` block errors
     are collected; the whole sweep stops early once the measured BLER
@@ -89,6 +92,8 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
     ebno_dbs = np.asarray(ebno_dbs, np.float32)
     bers = np.full(len(ebno_dbs), np.nan)
     blers = np.full(len(ebno_dbs), np.nan)
+    blk_errs = np.zeros(len(ebno_dbs), np.int64)
+    blk_tot = np.zeros(len(ebno_dbs), np.int64)
     for i, ebno in enumerate(ebno_dbs):
         be = nb = ble = nbl = 0
         t0 = time.time()
@@ -107,13 +112,29 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
                 break
         bers[i] = be / max(nb, 1)
         blers[i] = ble / max(nbl, 1)
+        blk_errs[i], blk_tot[i] = ble, nbl
         if verbose:
             print(f"Eb/No {ebno:5.1f} dB | BER {bers[i]:.4e} | "
                   f"BLER {blers[i]:.4e} | blocks {nbl} | "
                   f"{time.time()-t0:.1f}s", flush=True)
         if target_bler is not None and blers[i] < target_bler:
             break
+    if return_counts:
+        return bers, blers, blk_errs, blk_tot
     return bers, blers
+
+
+def bler_confidence_interval(block_errors: int, num_blocks: int,
+                             z: float = 1.96):
+    """Wilson score interval for a BLER estimate (95% by default)."""
+    if num_blocks <= 0:
+        return (float("nan"), float("nan"))
+    p = block_errors / num_blocks
+    denom = 1 + z ** 2 / num_blocks
+    center = (p + z ** 2 / (2 * num_blocks)) / denom
+    half = (z / denom) * np.sqrt(p * (1 - p) / num_blocks
+                                 + z ** 2 / (4 * num_blocks ** 2))
+    return (max(center - half, 0.0), min(center + half, 1.0))
 
 
 def save_results(path: str, label: str, system_name: str, num_tx: int,

@@ -95,15 +95,20 @@ def main():
         print(f"loaded {args.weights} (ckpt step {step})", flush=True)
 
     t0 = time.time()
-    ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
-                        max_mc_iter=args.max_iter,
-                        num_target_block_errors=args.target_errors,
-                        mcs_arr_eval_idx=args.mcs,
-                        num_it=p.num_nrx_iter_eval, fast_ldpc=args.fast_ldpc)
-    print("\nEb/No |   ours   | reference (10M iters)")
-    for e, b in zip(args.snr, bler):
+    ber, bler, berr, btot = sim_ber(
+        model, params, args.snr, batch_size=args.batch,
+        max_mc_iter=args.max_iter,
+        num_target_block_errors=args.target_errors,
+        mcs_arr_eval_idx=args.mcs,
+        num_it=p.num_nrx_iter_eval, fast_ldpc=args.fast_ldpc,
+        return_counts=True)
+    from neural_rx_tpu.sim.simber import bler_confidence_interval
+    print("\nEb/No |   ours   [95% CI] (blocks) | reference (10M iters)")
+    for e, b, be_, bt in zip(args.snr, bler, berr, btot):
         ref = REFERENCE_BLER.get(float(e))
-        print(f"{e:5.1f} | {float(b):8.4f} | "
+        lo, hi = bler_confidence_interval(int(be_), int(bt))
+        print(f"{e:5.1f} | {float(b):8.4f} [{lo:.4f},{hi:.4f}] "
+              f"({int(be_)}/{int(bt)}) | "
               f"{ref if ref is not None else '-'}")
 
     # goodput (info bits per RE; reference utils.py:430-486) — for
@@ -126,6 +131,8 @@ def main():
             "snr_db": [float(x) for x in args.snr],
             "bler": [float(x) for x in bler],
             "ber": [float(x) for x in ber],
+            "block_errors": [int(x) for x in berr],
+            "num_blocks": [int(x) for x in btot],
             "goodput_bits_per_re": [round(float(g), 4) for g in gp],
             "eval_s": round(time.time() - t0, 1)}) + "\n")
     print("appended to results/trained_progress.jsonl", flush=True)

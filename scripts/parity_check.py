@@ -52,14 +52,17 @@ def main():
         REF_WEIGHTS, model.init_params(jax.random.PRNGKey(0)))
     print("imported reference weights", flush=True)
 
-    ber, bler = sim_ber(model, params, args.snr, batch_size=args.batch,
-                        max_mc_iter=args.max_iter,
-                        num_target_block_errors=200,
-                        num_it=p.num_nrx_iter_eval)
-    print("\nEb/No |   ours   | reference")
-    for e, b in zip(args.snr, bler):
+    from neural_rx_tpu.sim.simber import bler_confidence_interval
+    ber, bler, berr, btot = sim_ber(
+        model, params, args.snr, batch_size=args.batch,
+        max_mc_iter=args.max_iter, num_target_block_errors=200,
+        num_it=p.num_nrx_iter_eval, return_counts=True)
+    print("\nEb/No |   ours   [95% CI]          | blocks | reference")
+    for e, b, be_, bt in zip(args.snr, bler, berr, btot):
         r = REFERENCE_BLER.get(e, float("nan"))
-        print(f"{e:5.1f} | {b:.4f}  | {r:.4f}")
+        lo, hi = bler_confidence_interval(int(be_), int(bt))
+        print(f"{e:5.1f} | {b:.4f} [{lo:.4f},{hi:.4f}] | "
+              f"{int(be_)}/{int(bt)} | {r:.4f}")
 
 
 if __name__ == "__main__":
