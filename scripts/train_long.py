@@ -43,6 +43,12 @@ def main():
                          "only the LLR-readout head differs)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (debug/smoke)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 CGNN compute during training (params, "
+                         "optimizer and losses stay f32). The reference "
+                         "trains f32 (nrx_rt.cfg nrx_dtype); this is a "
+                         "TPU-native opt-in — A/B the eval-loss "
+                         "trajectory before adopting for long runs")
     ap.add_argument("--ema-decay", type=float, default=0.998,
                     help="per-100-iteration-chunk Polyak/EMA decay for "
                          "an averaged weight copy saved alongside the "
@@ -65,6 +71,9 @@ def main():
     import json
 
     p = Parameters(args.config, system="nrx", training=True)
+    if args.bf16:
+        import jax.numpy as jnp
+        p.nrx_dtype = jnp.bfloat16
     model = E2EModel(p, training=True)
     params = model.init_params(jax.random.PRNGKey(42))
 
