@@ -62,11 +62,17 @@ def _pad_lanes(z: int) -> int:
 
 
 def make_decoder(code: LDPCCode, num_iter: int = 20,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, tile: int = 8):
     """Build a jittable layered min-sum decoder for one (bg, z) code.
 
     Returns fn(llr_ch [batch, num_cols*Z] internal-convention
     log(p0/p1)) -> hard bits [batch, num_cols*Z].
+
+    `tile` codewords are decoded per kernel instance: every per-row VPU
+    op works on a [tile, Z] block instead of [1, Z], filling all 8
+    sublanes of the vector registers (a [1, 384] op uses 1/8 of the
+    VPU). VMEM state is tile * (num_cols + num_edges) * Z * 4 B
+    (~4.7 MB for BG1/Z=384 at tile=8 — comfortably resident).
 
     interpret=None auto-selects pallas interpret mode off-TPU so the
     fast path also runs on CPU (tests, debug)."""
@@ -83,14 +89,15 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     n_edges = code.num_edges
 
     def _roll(x, shift):
-        # x: [1, zp]; cyclic lane rotate by a STATIC shift. zp == z is
-        # guaranteed (z % 128 == 0 guard), so the rotate is exact.
+        # x: [tile, zp]; cyclic lane rotate by a STATIC shift. zp == z
+        # is guaranteed (z % 128 == 0 guard), so the rotate is exact.
         return pltpu.roll(x, shift % z, 1)
 
     def kernel(llr_ref, out_ref, app_ref, c2v_ref):
-        # load channel LLRs into APP
-        app_ref[:, :] = llr_ref[:, :]
-        c2v_ref[:, :] = jnp.zeros_like(c2v_ref)
+        # load channel LLRs into APP ([n_cols, tile, zp] layout so each
+        # per-column slice is a contiguous [tile, zp] block)
+        app_ref[:, :, :] = llr_ref[:, :, :]
+        c2v_ref[:, :, :] = jnp.zeros_like(c2v_ref)
 
         # fori_loop keeps the traced graph to ONE iteration (the row
         # schedule below unrolls ~E lane-rotates; x num_iter would blow
@@ -100,8 +107,7 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
                 # gather extrinsic v2c messages in the check frame
                 v2cs = []
                 for (c, s, e) in entries:
-                    t = (_roll(app_ref[c:c + 1, :], -s)
-                         - c2v_ref[e:e + 1, :])
+                    t = _roll(app_ref[c], -s) - c2v_ref[e]
                     v2cs.append(t)
                 # normalized min-sum across the row (two-minima trick)
                 sign = jnp.ones_like(v2cs[0])
@@ -127,32 +133,48 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
                     other_min = jnp.where(first, min2, min1)
                     sgn_e = jnp.where(t < 0, -1.0, 1.0)
                     new_msg = _ALPHA * sign * sgn_e * other_min
-                    c2v_ref[e:e + 1, :] = new_msg
-                    app_ref[c:c + 1, :] = _roll(t + new_msg, s)
+                    c2v_ref[e] = new_msg
+                    app_ref[c] = _roll(t + new_msg, s)
             return carry
 
         jax.lax.fori_loop(0, num_iter, one_iteration, 0)
-        out_ref[:, :] = jnp.where(app_ref[:, :] < 0, 1.0, 0.0)
+        out_ref[:, :, :] = jnp.where(app_ref[:, :, :] < 0, 1.0, 0.0)
 
-    call = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_cols, zp), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((n_cols, zp), jnp.float32),
-            pltpu.VMEM((n_edges, zp), jnp.float32),
-        ],
-        interpret=interpret,
-    )
+    @functools.lru_cache(maxsize=8)
+    def make_call(n_tiles):
+        return pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec((n_cols, tile, zp),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n_cols, tile, zp),
+                                   lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n_cols, n_tiles * tile, zp),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_cols, tile, zp), jnp.float32),
+                pltpu.VMEM((n_edges, tile, zp), jnp.float32),
+            ],
+            interpret=interpret,
+        )
 
     def decode(llr_ch: jnp.ndarray) -> jnp.ndarray:
         batch_shape = llr_ch.shape[:-1]
         blocks = llr_ch.reshape((-1, n_cols, z))
+        n = blocks.shape[0]
+        n_tiles = -(-n // tile)
+        pad_n = n_tiles * tile - n
         if zp != z:
             blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, zp - z)))
-        bits = jax.vmap(call)(blocks)
-        bits = bits[..., :z]
+        if pad_n:
+            blocks = jnp.pad(blocks, ((0, pad_n), (0, 0), (0, 0)))
+        # [N, n_cols, zp] -> [n_cols, N, zp] (contiguous [tile, zp]
+        # per-column blocks inside the kernel)
+        x = jnp.transpose(blocks, (1, 0, 2))
+        bits = make_call(n_tiles)(x)
+        bits = jnp.transpose(bits, (1, 0, 2))[:n, :, :z]
         return bits.reshape(batch_shape + (n_cols * z,))
 
     return decode

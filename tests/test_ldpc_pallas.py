@@ -99,3 +99,22 @@ class TestTBFallback:
         llr = jnp.zeros((2, 960))
         b_hat, ok = tb_decode_fast(cfg_small, llr)
         assert b_hat.shape == (2, 352)
+
+
+class TestTiledBatch:
+    def test_tile_padding_and_order(self):
+        """Batch sizes that are not tile multiples, and batch order
+        through the [N, cols, Z] <-> [cols, N, Z] transposes: every
+        codeword must decode exactly as the per-codeword NumPy oracle."""
+        from neural_rx_tpu.phy.nr.ldpc import get_code
+        from neural_rx_tpu.kernels.ldpc_pallas import (
+            make_decoder, reference_layered_decode)
+        code = get_code(2, 128)
+        rng = np.random.default_rng(21)
+        n = 5  # not a multiple of the default tile=8 -> exercises pad
+        llr = rng.normal(size=(n, code.n_full)).astype(np.float32) * 2
+        dec = make_decoder(code, num_iter=4, interpret=True)
+        got = np.asarray(dec(jnp.asarray(llr)))
+        for i in range(n):
+            want = reference_layered_decode(code, llr[i], num_iter=4)
+            np.testing.assert_array_equal(got[i], want, err_msg=f"cw {i}")
