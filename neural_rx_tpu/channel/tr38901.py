@@ -383,17 +383,28 @@ class UMiUMaChannel:
                                 + 0.0001 * k_db_s ** 3)),
                     jnp.full(shape, c_phi_n.get(pn["num_clusters"], 0.889)))
 
-        def cluster_angles(center, spread_deg, key1, key2):
+        def _power_neg_log():
             pmax = jnp.max(p_cl, -1, keepdims=True)
-            neg_log = jnp.maximum(
+            return jnp.maximum(
                 -jnp.log(p_cl / jnp.maximum(pmax, 1e-12) + 1e-12), 0.0)
-            phi_p = 2 * (spread_deg[..., None] / 1.4) \
-                * jnp.sqrt(neg_log) / jnp.maximum(c_phi[..., None], 1e-6)
+
+        def _cluster_spread_angles(raw_angle, center, spread_deg, key1,
+                                   key2):
+            """Shared step-7 scaffolding: random per-cluster sign X_n,
+            Gaussian perturbation Y_n ~ N(0, (spread/7)^2), center."""
             xn = jax.random.choice(key1, jnp.asarray([-1.0, 1.0]),
                                    shape + (NC,))
             yn = (spread_deg[..., None] / 7.0) \
                 * jax.random.normal(key2, shape + (NC,))
-            return xn * phi_p + yn + center[..., None]
+            return xn * raw_angle + yn + center[..., None]
+
+        def cluster_angles(center, spread_deg, key1, key2):
+            # wrapped-Gaussian inverse (7.5-9)
+            phi_p = 2 * (spread_deg[..., None] / 1.4) \
+                * jnp.sqrt(_power_neg_log()) \
+                / jnp.maximum(c_phi[..., None], 1e-6)
+            return _cluster_spread_angles(phi_p, center, spread_deg,
+                                          key1, key2)
 
         phi_aoa = cluster_angles(phi_los_aoa, asa, ks[10],
                                  jax.random.fold_in(ks[10], 1))
@@ -413,16 +424,11 @@ class UMiUMaChannel:
                    jnp.full(shape, c_th_n.get(pn["num_clusters"], 1.184)))
 
         def cluster_zenith(center, spread_deg, key1, key2):
-            pmax = jnp.max(p_cl, -1, keepdims=True)
-            neg_log = jnp.maximum(
-                -jnp.log(p_cl / jnp.maximum(pmax, 1e-12) + 1e-12), 0.0)
-            th_p = spread_deg[..., None] * neg_log \
+            # Laplacian inverse (7.5-14)
+            th_p = spread_deg[..., None] * _power_neg_log() \
                 / jnp.maximum(c_th[..., None], 1e-6)
-            xn = jax.random.choice(key1, jnp.asarray([-1.0, 1.0]),
-                                   shape + (NC,))
-            yn = (spread_deg[..., None] / 7.0) \
-                * jax.random.normal(key2, shape + (NC,))
-            return xn * th_p + yn + center[..., None]
+            return _cluster_spread_angles(th_p, center, spread_deg,
+                                          key1, key2)
 
         th_zoa = cluster_zenith(th_los_zoa, zsa, kz[4], kz[5])
         th_zod = cluster_zenith(th_los_zod + zod_off, zsd, kz[6], kz[7])
@@ -481,8 +487,11 @@ class UMiUMaChannel:
         # ---- Doppler over the slot ------------------------------------
         t = jnp.arange(num_symbols, dtype=jnp.float32) * symbol_duration
         v_ms = speed[..., None, None]
-        doppler = (v_ms / self.wavelength) * sin_zoa_r \
-            * jnp.cos(jnp.deg2rad(phi_aoa_r) - v_dir[..., None, None])
+        # Doppler is set by the ray direction AT THE MOVING TERMINAL —
+        # the UT, i.e. the departure side in this uplink convention:
+        # nu = (v/lambda) * sin(theta_ZOD) * cos(phi_AOD - v_dir)
+        doppler = (v_ms / self.wavelength) * sin_zod_r \
+            * jnp.cos(jnp.deg2rad(phi_aod_r) - v_dir[..., None, None])
         ray_phase_t = jnp.exp(
             1j * 2 * np.pi * doppler[..., None] * t)  # [B,T,NC,NR,sym]
 
@@ -514,8 +523,8 @@ class UMiUMaChannel:
                             * jnp.sin(jnp.deg2rad(phi_los_aod)))[..., None])
         los_phase0 = jax.random.uniform(ks[14], shape, minval=-np.pi,
                                         maxval=np.pi)
-        dop_los = (speed / self.wavelength) * sin_zoa_los \
-            * jnp.cos(jnp.deg2rad(phi_los_aoa) - v_dir)
+        dop_los = (speed / self.wavelength) * sin_zod_los \
+            * jnp.cos(jnp.deg2rad(phi_los_aod) - v_dir)
         los_t = jnp.exp(1j * (los_phase0[..., None]
                               + 2 * np.pi * dop_los[..., None] * t))
         los_amp = jnp.sqrt(p_spec)[..., None] * los_t  # [B,T,sym]

@@ -63,6 +63,7 @@ class AerialNRX:
         gathers = []
         focc_pairs = []
         pilot_scs = []
+        uniq_pilot_scs = []
         freq_dists = []
         pad_exact = True
         for tx in range(rg.num_tx):
@@ -78,11 +79,16 @@ class AerialNRX:
             pair = np.arange(len(ip)) // 2
             focc_pairs.append(pair.astype(np.int32))
             pilot_scs.append(jp.astype(np.int32))
-            # per-subcarrier distance to every pilot (for runtime
-            # valid-width-aware PE under pad-to-bucket dispatch)
+            # per-subcarrier distance to each UNIQUE pilot subcarrier
+            # (for runtime valid-width-aware PE under pad-to-bucket
+            # dispatch). Dedup across DMRS symbols + int16 keeps the
+            # baked constant small (the full [sc, n_pilots] f32 matrix
+            # would be ~40 MB for a 132-PRB 4-layer engine).
+            uniq = np.unique(jp)
+            uniq_pilot_scs.append(uniq.astype(np.int32))
             freq_dists.append(
-                np.abs(np.arange(n_sc)[:, None] - jp[None, :])
-                .astype(np.float32))
+                np.abs(np.arange(n_sc)[:, None] - uniq[None, :])
+                .astype(np.int16))
             # padded dispatch is LLR-exact iff no valid-region RE ever
             # gathers a pilot from a LATER PRB (valid boundaries are PRB
             # multiples; true for type-1 comb DMRS, where the nearest
@@ -94,7 +100,9 @@ class AerialNRX:
         self.focc_pair = np.stack(focc_pairs)  # [T, n_pilots]
         self.num_pilots = self._n_pilots[0]
         self.pilot_sc = np.stack(pilot_scs)  # [T, n_pilots]
-        self.freq_dist = np.stack(freq_dists)  # [T, sc, n_pilots]
+        assert len({len(u) for u in uniq_pilot_scs}) == 1
+        self.uniq_pilot_sc = np.stack(uniq_pilot_scs)  # [T, U]
+        self.freq_dist = np.stack(freq_dists)  # [T, sc, U] int16
         self.pad_dispatch_exact = pad_exact
 
     def _dynamic_pe(self, num_valid_sc):
@@ -106,8 +114,9 @@ class AerialNRX:
         is column-local, so the static precompute stays valid."""
         msc = (jnp.arange(self.n_sc) < num_valid_sc)
         dist = jnp.where(
-            jnp.asarray(self.pilot_sc)[:, None, :] < num_valid_sc,
-            jnp.asarray(self.freq_dist), jnp.inf).min(-1)  # [T, sc]
+            jnp.asarray(self.uniq_pilot_sc)[:, None, :] < num_valid_sc,
+            jnp.asarray(self.freq_dist),
+            jnp.int16(32767)).min(-1).astype(jnp.float32)  # [T, sc]
         nv = num_valid_sc.astype(jnp.float32)
         mean = jnp.sum(dist * msc, -1, keepdims=True) / nv
         var = jnp.sum(jnp.where(msc, dist - mean, 0.0) ** 2, -1,

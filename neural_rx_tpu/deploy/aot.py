@@ -89,6 +89,14 @@ class BucketedReceiver:
             return self.compiled[b](self.params, rx_slot_real,
                                     rx_slot_imag, h_hat_real, h_hat_imag,
                                     dmrs_port_mask, np.int32(valid_sc))
+        if not getattr(eng, "pad_dispatch_exact", False):
+            # e.g. type-2 DMRS: the bucket's NN gather can select a
+            # pilot from a later PRB that arrives zero-padded, silently
+            # diverging from the direct-shape LLRs. Refuse instead.
+            raise ValueError(
+                f"engine for bucket {b} cannot serve {n_prb} PRBs by "
+                "padding (pilot gathers cross PRB boundaries); compile "
+                "an exact-shape engine for this PRB count instead")
         pad = eng.n_sc - valid_sc
         yr = jnp.pad(rx_slot_real, ((0, 0), (0, pad), (0, 0), (0, 0)))
         yi = jnp.pad(rx_slot_imag, ((0, 0), (0, pad), (0, 0), (0, 0)))

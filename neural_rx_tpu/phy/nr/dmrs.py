@@ -101,13 +101,16 @@ def dmrs_symbol_indices(mapping_type: str, type_a_position: int,
             bars = [b + start for b in table[ld]]
         else:  # double-symbol, mapping type B (Table 6.4.1.1.3-4)
             assert ld >= 2, "double-symbol DMRS needs >=2 symbols"
-            table = {
-                0: {ld_: [l0] for ld_ in range(2, 15)},
-                1: {**{ld_: [l0] for ld_ in range(2, 10)},
-                    **{ld_: [l0, 8] for ld_ in (10, 11)},
-                    **{ld_: [l0, 10] for ld_ in (12, 13, 14)}},
-            }[additional_position]
-            bars = [b + start for b in table[ld]]
+            if additional_position != 0:
+                # The additional-position column of the type-B
+                # double-symbol table cannot be transcribed here with
+                # verifiable fidelity (no spec copy in this environment)
+                # and no config in the matrix uses it; refusing beats
+                # shipping invented pilot positions.
+                raise ValueError(
+                    "double-symbol type-B DMRS with additional_position"
+                    " > 0 is not supported (unverified table column)")
+            bars = [l0 + start]
     else:
         raise ValueError(f"unknown mapping type {mapping_type}")
     out = []

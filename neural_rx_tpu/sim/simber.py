@@ -65,13 +65,17 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
     SURVEY.md §2.11); error counters reduce to host scalars.
 
     Multi-process (jax.process_count() > 1, after jax.distributed
-    initialization): each process draws an independent per-host PRNG
-    stream (dist.multihost.host_fold_key) and evaluates its own
-    `batch_size` samples per iteration; the four error counters are
-    all-gathered and summed across processes every iteration, so early
-    stopping is decided on GLOBAL counts and every process takes the
-    same branch (no divergence/deadlock). Reference analog:
-    sim_ber(distribute="all"), evaluate.py:61.
+    initialization), two mutually exclusive modes:
+    - mesh=None (or a process-local mesh): each process draws an
+      independent per-host PRNG stream (dist.multihost.host_fold_key)
+      and evaluates its own `batch_size` samples per iteration; the
+      four error counters are all-gathered and summed across processes
+      every iteration, so early stopping is decided on GLOBAL counts
+      and every process takes the same branch. Reference analog:
+      sim_ber(distribute="all"), evaluate.py:61.
+    - mesh spanning all processes (dist.multihost.global_mesh): one
+      global pjit computation; all processes pass the same key, the
+      counters are already global, and no extra reduction happens.
     """
     if mesh is not None:
         model.mesh = mesh
@@ -85,10 +89,22 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
                 return _inner(params, key, batch_size, ebno)
     n_proc = jax.process_count()
     key = jax.random.PRNGKey(seed)
+    # Two distinct multi-process modes, never combined:
+    # (a) mesh spans all processes (global pjit): ONE global computation,
+    #     every process passes the SAME key and already sees GLOBAL
+    #     counters — no fold, no allgather (folding keys would feed
+    #     inconsistent replicated inputs; allgather would double-count).
+    # (b) no cross-process mesh: independent per-host loops — fold a
+    #     per-host PRNG stream and allgather+sum counters each iteration.
+    mesh_spans_processes = mesh is not None and any(
+        d.process_index != jax.process_index()
+        for d in np.asarray(mesh.devices).flat)
+    reduce_across = n_proc > 1 and not mesh_spans_processes
     if n_proc > 1:
+        verbose = verbose and jax.process_index() == 0
+    if reduce_across:
         from ..dist.multihost import host_fold_key
         key = host_fold_key(key)
-        verbose = verbose and jax.process_index() == 0
     ebno_dbs = np.asarray(ebno_dbs, np.float32)
     bers = np.full(len(ebno_dbs), np.nan)
     blers = np.full(len(ebno_dbs), np.nan)
@@ -102,7 +118,7 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             r = step(params, sub, batch_size, jnp.float32(ebno))
             r = np.asarray([int(r[0]), int(r[1]), int(r[2]), int(r[3])],
                            np.int64)
-            if n_proc > 1:
+            if reduce_across:
                 from jax.experimental import multihost_utils
                 r = np.asarray(
                     multihost_utils.process_allgather(r)).sum(axis=0)

@@ -75,19 +75,21 @@ class TestDMRS:
         assert not np.allclose(g0[2], g0[11])
 
     def test_double_symbol_pairs(self):
+        import pytest
         # type A double-symbol (Table 6.4.1.1.3-4): l = {2,3} (+ {10,11})
         assert dmrs_symbol_indices("A", 2, 0, 2, (0, 14)) == [2, 3]
         assert dmrs_symbol_indices("A", 2, 1, 2, (0, 14)) == [2, 3, 10, 11]
-        # type B double-symbol: pairs start at the allocation start
+        # type B double-symbol: the pair starts at the allocation start;
+        # additional positions are refused (unverified table column)
         assert dmrs_symbol_indices("B", 2, 0, 2, (1, 12)) == [1, 2]
-        assert dmrs_symbol_indices("B", 2, 1, 2, (0, 12)) == [0, 1, 10, 11]
+        with pytest.raises(ValueError, match="unverified"):
+            dmrs_symbol_indices("B", 2, 1, 2, (0, 12))
         # every pair is consecutive and inside the allocation
-        for mt, alloc in (("A", (0, 14)), ("B", (2, 12))):
-            syms = dmrs_symbol_indices(mt, 2, 1, 2, alloc)
-            assert len(syms) % 2 == 0
-            for a, b in zip(syms[::2], syms[1::2]):
-                assert b == a + 1
-                assert alloc[0] <= a and b < alloc[0] + alloc[1]
+        syms = dmrs_symbol_indices("A", 2, 1, 2, (0, 14))
+        assert len(syms) % 2 == 0
+        for a, b in zip(syms[::2], syms[1::2]):
+            assert b == a + 1
+            assert 0 <= a and b < 14
 
     def test_double_symbol_time_occ(self):
         # ports 4-7 (type 1) carry w_t=(+1,-1): second symbol of each
