@@ -80,6 +80,15 @@ def main():
         compiled = jax.jit(engine.__call__).lower(params,
                                                   *inputs).compile()
         stats = measure_latency(compiled, params, inputs)
+        # persist the engine itself (TRT .plan analog): weights baked
+        # in, loadable without the model-construction code path
+        from neural_rx_tpu.deploy.aot import serialize_engine
+        eng_path = os.path.join(args.out,
+                                f"{pr.label}_{n_prb}prb.jaxengine")
+        nbytes = serialize_engine(
+            lambda *a: engine(params, *a), inputs, eng_path)
+        stats["engine_file"] = os.path.basename(eng_path)
+        stats["engine_bytes"] = nbytes
         manifest["buckets"][n_prb] = stats
         print(f"bucket {n_prb} PRB: {stats}")
 

@@ -120,6 +120,31 @@ class BucketedReceiver:
         return llr[:, :, :valid_sc]
 
 
+def serialize_engine(fn, args, path: str) -> int:
+    """Persist a receiver engine as a serialized StableHLO executable
+    (jax.export) — the framework's analog of the reference's TensorRT
+    `.plan` artifact (export_onnx.py:196-212). Returns the byte size.
+
+    The artifact is loadable in a fresh process with `load_engine` and
+    runs without the model-construction code path (config parsing, PE
+    precompute, ...), which is the deployment property the `.plan` file
+    provides Aerial."""
+    from jax import export as jexport
+    exp = jexport.export(jax.jit(fn))(*args)
+    blob = exp.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_engine(path: str):
+    """Load a `serialize_engine` artifact -> callable(*args)."""
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return exp.call
+
+
 def measure_latency(compiled, params, inputs, iters: int = 100):
     """p50/p99 single-dispatch latency + pipelined throughput.
 

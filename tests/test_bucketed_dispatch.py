@@ -98,6 +98,25 @@ class TestBucketedDispatch:
         np.testing.assert_allclose(llr_bucket, llr_direct,
                                    rtol=1e-4, atol=1e-5)
 
+    def test_serialized_engine_roundtrip(self, tmp_path):
+        """serialize_engine / load_engine: the persisted StableHLO
+        artifact reproduces the live engine's LLRs (TRT .plan analog)."""
+        from neural_rx_tpu.deploy.aot import serialize_engine, load_engine
+        from neural_rx_tpu.deploy.data_tools import AerialDataGenerator
+
+        model4, engine4 = _build(4)
+        params = model4.init_params(jax.random.PRNGKey(0))
+        gen4 = AerialDataGenerator(model4, engine4)
+        inputs4, _ = gen4(jax.random.PRNGKey(5), 1, 10.0)
+        want = np.asarray(engine4(params, *inputs4))
+
+        path = tmp_path / "engine.jaxengine"
+        nbytes = serialize_engine(lambda *a: engine4(params, *a),
+                                  inputs4, str(path))
+        assert nbytes > 1000 and path.exists()
+        got = np.asarray(load_engine(str(path))(*inputs4))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
     def test_pilot_count_mismatch_rejected(self):
         import pytest
         from neural_rx_tpu.deploy.aot import BucketedReceiver
