@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--systems", nargs="*", default=DEFAULT_SYSTEMS)
     ap.add_argument("--mcs-idx", type=int, nargs="*", default=None)
     ap.add_argument("--max-iter", type=int, default=30)
-    ap.add_argument("--target-block-errors", type=int, default=150)
+    ap.add_argument("--target-block-errors", type=int, default=200)
     ap.add_argument("--target-bler", type=float, default=1e-4)
     ap.add_argument("--fast-ldpc", action="store_true")
     ap.add_argument("--untrained", action="store_true")
