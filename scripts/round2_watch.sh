@@ -53,8 +53,9 @@ while [ "$(left)" -gt 300 ]; do
     done
     echo "READY-WAIT done (waited ${W}s; flag $( [ -f logs/ROUND2_READY ] && echo present || echo ABSENT ))" >> "$LOG"
 
-    # --- 3) fused sepconv A/B (VERDICT item 6) ---
+    # --- 3) fused sepconv A/B (VERDICT item 6) + LDPC tile A/B ---
     run 2700 python scripts/bench_fused_convs.py
+    run 1800 python scripts/bench_ldpc_tile.py
 
     # --- 4) rest of measurement pass: depth table, K-Best profile,
     #        1-UE qpsk anchor, imported nrx_large / e2e_rt parity ---
@@ -84,6 +85,13 @@ while [ "$(left)" -gt 300 ]; do
           --config nrx_rt_var_mcs --mcs 0 --snr 1 2
       run 1500 python scripts/eval_trained_quick.py --fast-ldpc \
           --config nrx_rt_var_mcs --mcs 1 --snr 3 4
+    fi
+    # site-specific fine-tune continuation + eval (VERDICT item 8)
+    if [ "$(left)" -gt 5400 ]; then
+      run 2700 python scripts/train_long.py --config nrx_site_specific_100k \
+          --seconds 1800
+      run 1800 python scripts/eval_trained_quick.py --fast-ldpc \
+          --config nrx_site_specific_100k --snr 8 10 12 14
     fi
     # nrx_rt continuation with whatever is left (keep 25 min margin)
     while [ "$(left)" -gt 3000 ]; do
