@@ -94,9 +94,15 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
         return pltpu.roll(x, shift % z, 1)
 
     def kernel(llr_ref, out_ref, app_ref, c2v_ref):
-        # load channel LLRs into APP ([n_cols, tile, zp] layout so each
-        # per-column slice is a contiguous [tile, zp] block)
-        app_ref[:, :, :] = llr_ref[:, :, :]
+        # HBM blocks are [tile, n_cols, zp] (batch leading: Mosaic needs
+        # the block's last two dims divisible by (8, 128) or equal to
+        # the array dims — a [.., tile, zp] block with tile=1 violates
+        # that). VMEM scratch keeps the [n_cols, tile, zp] layout so the
+        # per-column working slice stays a contiguous [tile, zp] block;
+        # the swap happens in the per-column load/store loops below (68
+        # static slices — no in-kernel transpose op).
+        for c in range(n_cols):
+            app_ref[c] = llr_ref[:, c, :]
         c2v_ref[:, :, :] = jnp.zeros_like(c2v_ref)
 
         # fori_loop keeps the traced graph to ONE iteration (the row
@@ -138,20 +144,21 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
             return carry
 
         jax.lax.fori_loop(0, num_iter, one_iteration, 0)
-        out_ref[:, :, :] = jnp.where(app_ref[:, :, :] < 0, 1.0, 0.0)
+        for c in range(n_cols):
+            out_ref[:, c, :] = jnp.where(app_ref[c] < 0, 1.0, 0.0)
 
     @functools.lru_cache(maxsize=8)
     def make_call(n_tiles):
         return pl.pallas_call(
             kernel,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec((n_cols, tile, zp),
-                                   lambda i: (0, i, 0),
+            in_specs=[pl.BlockSpec((tile, n_cols, zp),
+                                   lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((n_cols, tile, zp),
-                                   lambda i: (0, i, 0),
+            out_specs=pl.BlockSpec((tile, n_cols, zp),
+                                   lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((n_cols, n_tiles * tile, zp),
+            out_shape=jax.ShapeDtypeStruct((n_tiles * tile, n_cols, zp),
                                            jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((n_cols, tile, zp), jnp.float32),
@@ -170,11 +177,7 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
             blocks = jnp.pad(blocks, ((0, 0), (0, 0), (0, zp - z)))
         if pad_n:
             blocks = jnp.pad(blocks, ((0, pad_n), (0, 0), (0, 0)))
-        # [N, n_cols, zp] -> [n_cols, N, zp] (contiguous [tile, zp]
-        # per-column blocks inside the kernel)
-        x = jnp.transpose(blocks, (1, 0, 2))
-        bits = make_call(n_tiles)(x)
-        bits = jnp.transpose(bits, (1, 0, 2))[:n, :, :z]
+        bits = make_call(n_tiles)(blocks)[:n, :, :z]
         return bits.reshape(batch_shape + (n_cols * z,))
 
     return decode

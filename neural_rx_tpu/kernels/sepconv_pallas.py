@@ -34,19 +34,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _dw3x3(x, dw):
     """Depthwise 3x3 SAME cross-correlation. x: [H, W, C]; dw: [3,3,C].
-    Returns f32 [H, W, C]."""
-    h, w = x.shape[0], x.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    Returns f32 [H, W, C].
+
+    Implemented as 9 static slices of a zero-padded copy (NOT jnp.roll:
+    roll lowers to a concatenate that includes a zero-width slice when a
+    shift is 0, and Mosaic rejects zero-sized vectors — this failed to
+    compile on real TPU while passing in interpret mode)."""
+    h, w, c = x.shape
+    zc = jnp.zeros((h, 1, c), x.dtype)
+    xp = jnp.concatenate([zc, x, zc], axis=1)
+    zr = jnp.zeros((1, w + 2, c), x.dtype)
+    xp = jnp.concatenate([zr, xp, zr], axis=0)
     acc = jnp.zeros(x.shape, jnp.float32)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             # y[i,j] += x[i+dy, j+dx] * k[dy+1, dx+1]  (zero outside)
-            shifted = jnp.roll(x, (-dy, -dx), (0, 1)).astype(jnp.float32)
-            valid = ((row + dy >= 0) & (row + dy < h) &
-                     (col + dx >= 0) & (col + dx < w))
+            shifted = jax.lax.slice(
+                xp, (1 + dy, 1 + dx, 0), (1 + dy + h, 1 + dx + w, c))
             kvec = dw[dy + 1, dx + 1].astype(jnp.float32)
-            acc = acc + jnp.where(valid, shifted, 0.0) * kvec[None, None, :]
+            acc = acc + shifted.astype(jnp.float32) * kvec[None, None, :]
     return acc
 
 
@@ -86,7 +92,7 @@ def _flatten_weights(layers, dtype):
                   lp["pw"].astype(dtype), lp["b"].astype(dtype)):
             ops.append(a)
             specs.append(pl.BlockSpec(
-                a.shape, lambda i, _s=a.shape: (0,) * len(_s),
+                a.shape, lambda *_i, _s=a.shape: (0,) * len(_s),
                 memory_space=pltpu.VMEM))
     return ops, specs
 
@@ -173,61 +179,56 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
 
 
 # ---------------------------------------------------------------------------
-# W-blocked variant: for wide grids (e.g. 273 PRB = 3276 subcarriers)
-# where whole-grid residency would blow VMEM. Overlap-save: the host pads
-# the subcarrier axis by `halo = n_layers` zeros per side, each grid step
-# DMAs an extended [H, w_blk + 2*halo, C] window from HBM into VMEM
-# scratch, runs the whole stack, and writes back the core w_blk columns.
-# Buffer-edge columns corrupted by the rolls fall inside the discarded
-# halo; the true grid edges see the host's zero padding — identical
-# "SAME" semantics to the XLA path.
+# W-blocked variant: for grids/channel-counts where whole-grid residency
+# would blow VMEM (the 130-channel update stacks at 132 PRB, and any
+# grid beyond ~200 PRB). Overlap-save over the subcarrier axis with a 2D
+# (batch, W-block) grid: each step fetches the current W block plus its
+# two neighbors through ordinary BlockSpec pipelining (the Pallas
+# pipeline double-buffers these HBM->VMEM copies automatically),
+# concatenates the halo columns in VMEM, runs the whole conv stack, and
+# writes back the core w_blk columns. Buffer-edge columns corrupted by
+# the shifts fall inside the discarded halo; true grid edges see the
+# host's zero padding — identical "SAME" semantics to the XLA path.
+#
+# Manual make_async_copy DMA is deliberately NOT used here: on real TPU
+# it requires tile-aligned copy extents (sublane multiple of 8, lane
+# multiple of 128 once >128) and crashed the Mosaic compiler for the
+# 130-channel / halo-extended windows this kernel needs
+# (scripts/debug_blocked_bisect*.py); BlockSpec-managed fetches handle
+# those shapes. The halo slices taken from the neighbor fetches must be
+# sublane-aligned (width multiple of 8): unaligned slices from multiple
+# refs combined into one concatenate also crash Mosaic (same bisect
+# scripts), so the fetch halo is the conv halo rounded up to 8.
 # ---------------------------------------------------------------------------
 
 
-def _stack_kernel_blocked(n_hidden, halo, w_blk, n_wb,
-                          out_dtype, valid_ref, x_hbm, *refs):
-    """Grid over batch; W-blocks loop inside with double-buffered input
-    DMA (guide pattern: prefetch block wb+1 while computing wb).
-    valid_ref (SMEM [1]): leading valid column count (== grid width for
-    plain runs; smaller under pad-to-bucket dispatch)."""
-    out_ref = refs[-3]
-    xbuf = refs[-2]      # [2, H, w_blk + 2*halo, C_in]
-    sem = refs[-1]       # DMA semaphores, shape (2,)
-    wrefs = refs[:-3]
-    n = pl.program_id(0)
+def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, valid_ref,
+                          left_ref, mid_ref, right_ref, *refs):
+    """Grid (batch, W-block). left/mid/right: [1, H, w_blk, C] fetches
+    of consecutive W blocks (the extended array is offset one full block,
+    so mid == block wb of the true grid). valid_ref (SMEM [2]): the
+    [lo, hi) valid true-column range (== full grid for plain runs;
+    narrower under pad-to-bucket dispatch)."""
+    out_ref = refs[-1]
+    wrefs = refs[:-1]
+    wb = pl.program_id(1)
     lo, hi = valid_ref[0], valid_ref[1]
     w_ext = w_blk + 2 * halo
 
-    def get_dma(slot, wb):
-        return pltpu.make_async_copy(
-            x_hbm.at[n, :, pl.ds(wb * w_blk, w_ext), :],
-            xbuf.at[slot], sem.at[slot])
-
-    get_dma(0, 0).start()
-
-    def wb_body(wb, _):
-        slot = jax.lax.rem(wb, 2)
-
-        @pl.when(wb + 1 < n_wb)
-        def _():
-            get_dma(jax.lax.rem(wb + 1, 2), wb + 1).start()
-
-        get_dma(slot, wb).wait()
-        # true-grid column of each buffer column (for per-layer pad
-        # re-zeroing in _run_stack)
-        col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
-               + wb * w_blk - halo)
-        x = _run_stack(xbuf[slot], wrefs, n_hidden, out_dtype,
-                       in_grid=(col >= lo) & (col < hi))
-        out_ref[0, :, pl.ds(wb * w_blk, w_blk), :] = (
-            x[:, halo:halo + w_blk, :])
-        return _
-
-    jax.lax.fori_loop(0, n_wb, wb_body, None)
+    xw = jnp.concatenate(
+        [left_ref[0, :, w_blk - halo:, :], mid_ref[0],
+         right_ref[0, :, :halo, :]], axis=1)
+    # true-grid column of each buffer column (for per-layer pad
+    # re-zeroing in _run_stack)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
+           + wb * w_blk - halo)
+    x = _run_stack(xw, wrefs, n_hidden, out_dtype,
+                   in_grid=(col >= lo) & (col < hi))
+    out_ref[0] = x[:, halo:halo + w_blk, :]
 
 
 @functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))
-def fused_conv_stack_blocked(p, x, w_blk: int = 512,
+def fused_conv_stack_blocked(p, x, w_blk: int = 256,
                              interpret: bool | None = None,
                              sc_valid=None):
     """W-blocked `fused_conv_stack` for wide grids. x: [N, H, W, C_in];
@@ -237,33 +238,38 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 512,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]
-    halo = len(layers)
+    # conv halo = one column per layer, rounded up to a sublane multiple
+    # (8) so the neighbor-fetch slices below are Mosaic-legal
+    halo = -(-len(layers) // 8) * 8
     n, h, w, c_in = x.shape
     c_out = layers[-1]["pw"].shape[1]
     dtype = x.dtype
     sc_valid, _ = _valid_range(sc_valid, w)
+    assert halo <= w_blk
 
     n_wb = -(-w // w_blk)
     w_pad = n_wb * w_blk
-    # halo zeros (true-edge SAME padding) + round-up-to-block columns
-    x_ext = jnp.pad(x, ((0, 0), (0, 0), (halo, halo + w_pad - w), (0, 0)))
+    # one full zero block each side (left/right neighbor fetches of the
+    # first/last block) + round-up-to-block columns; true data starts at
+    # column w_blk of the extended array
+    x_ext = jnp.pad(
+        x, ((0, 0), (0, 0), (w_blk, 2 * w_blk + w_pad - w), (0, 0)))
 
     ops, specs = _flatten_weights(layers, dtype)
+    blk = lambda off: pl.BlockSpec(  # noqa: E731
+        (1, h, w_blk, c_in), lambda i, wb, _o=off: (i, 0, wb + _o, 0),
+        memory_space=pltpu.VMEM)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
-                               halo, w_blk, n_wb, dtype)
+                               halo, w_blk, dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(n,),
+        grid=(n, n_wb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)] + specs,
-        out_specs=pl.BlockSpec((1, h, w_pad, c_out),
-                               lambda i: (i, 0, 0, 0),
+                  blk(0), blk(1), blk(2)] + specs,
+        out_specs=pl.BlockSpec((1, h, w_blk, c_out),
+                               lambda i, wb: (i, 0, wb, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w_pad, c_out), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, h, w_blk + 2 * halo, c_in), dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
-    )(sc_valid, x_ext, *ops)
+    )(sc_valid, x_ext, x_ext, x_ext, *ops)
     return out[:, :, :w, :]

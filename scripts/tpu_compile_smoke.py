@@ -1,0 +1,91 @@
+"""Compile-smoke every Pallas kernel at its deployed shape on the real
+TPU. Interpret-mode CPU tests validate semantics but NOT Mosaic lowering
+(two real lowering failures slipped through in round 2: a zero-width
+roll slice in the fused sepconv kernel and an illegal block shape in the
+tiled LDPC decoder); this script exists so a 2-minute chip slot can
+falsify lowering for everything at once.
+
+Usage: python scripts/tpu_compile_smoke.py   (single TPU client!)
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def check(name, fn):
+    t0 = time.time()
+    try:
+        out = fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # force through tunnel
+        print(f"OK   {name}  ({time.time() - t0:.1f}s)", flush=True)
+        return True
+    except Exception as e:  # noqa: BLE001 - report and continue
+        msg = str(e).split("\n")[0][:200]
+        print(f"FAIL {name}: {type(e).__name__}: {msg}", flush=True)
+        return False
+
+
+def main():
+    from neural_rx_tpu.kernels.sepconv_pallas import (
+        fused_conv_stack, fused_conv_stack_blocked)
+    from neural_rx_tpu.kernels.ldpc_pallas import make_decoder
+    from neural_rx_tpu.phy.nr.ldpc import LDPCCode
+
+    rng = np.random.default_rng(0)
+    ok = True
+
+    def sep_params(c_in, widths):
+        layers = []
+        cin = c_in
+        for w in widths:
+            layers.append({
+                "dw": jnp.asarray(rng.normal(size=(3, 3, 1, cin)),
+                                  jnp.bfloat16),
+                "pw": jnp.asarray(rng.normal(size=(cin, w)), jnp.bfloat16),
+                "b": jnp.zeros((w,), jnp.bfloat16)})
+            cin = w
+        return {"hidden": layers[:-1], "out": layers[-1]}
+
+    # fused sepconv, whole-grid route (init stack: 18 -> 64 -> 64)
+    p_init = sep_params(18, [64, 64])
+    x18 = jnp.asarray(rng.normal(size=(2, 14, 1584, 18)), jnp.bfloat16)
+    ok &= check("fused_conv_stack whole 18ch@132PRB",
+                lambda: fused_conv_stack(p_init, x18, interpret=False))
+    ok &= check("fused_conv_stack whole masked",
+                lambda: fused_conv_stack(p_init, x18, interpret=False,
+                                         sc_valid=jnp.int32(1200)))
+
+    # fused sepconv, W-blocked route (update stack: 130 -> 64 -> 64)
+    p_upd = sep_params(130, [64, 64])
+    x130 = jnp.asarray(rng.normal(size=(2, 14, 1584, 130)), jnp.bfloat16)
+    ok &= check("fused blocked 130ch w_blk=256",
+                lambda: fused_conv_stack_blocked(p_upd, x130, w_blk=256,
+                                                 interpret=False))
+    ok &= check("fused blocked 130ch w_blk=256 masked",
+                lambda: fused_conv_stack_blocked(
+                    p_upd, x130, w_blk=256, interpret=False,
+                    sc_valid=jnp.asarray([0, 1200], jnp.int32)))
+
+    # tiled layered LDPC, tile=1 (round-1 baseline) and tile=8
+    code = LDPCCode(bg=1, z=384)
+    llr = jnp.asarray(rng.normal(size=(30, code.num_cols * 384)),
+                      jnp.float32)
+    for tile in (1, 8):
+        dec = make_decoder(code, num_iter=2, interpret=False, tile=tile)
+        ok &= check(f"ldpc layered tile={tile} BG1/Z=384",
+                    lambda d=dec: d(llr))
+
+    print("SMOKE", "PASS" if ok else "FAIL", flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
