@@ -51,7 +51,16 @@ def main():
             num_units_readout=pr.num_units_readout,
             var_mcs_masking=pr.mcs_var_mcs_masking,
             initial_chest="ls" if pr.initial_chest else None,
-            mask_pilots=pr.mask_pilots, nrx_dtype=jnp.bfloat16)
+            mask_pilots=pr.mask_pilots, nrx_dtype=jnp.bfloat16,
+            # inference-only engines: fused pallas sepconv stacks win
+            # the on-chip A/B at serving batch sizes (0.876 vs 1.056
+            # ms/slot at batch 1) while XLA convs batch better (batch
+            # 16: 1003 vs 822 slots/s) — STATUS.md. NRX_FUSED_CONVS
+            # overrides the batch-adaptive default.
+            fused_convs=(
+                os.environ["NRX_FUSED_CONVS"] == "1"
+                if "NRX_FUSED_CONVS" in os.environ
+                else args.batch * pr.max_num_tx <= 8))
         wpath = os.path.join(args.weights_dir, f"{pr.label}_weights.pkl")
         if os.path.exists(wpath):
             params = load_weights(wpath)
