@@ -62,7 +62,7 @@ def _pad_lanes(z: int) -> int:
 
 
 def make_decoder(code: LDPCCode, num_iter: int = 20,
-                 interpret: bool | None = None, tile: int = 8):
+                 interpret: bool | None = None, tile: int = 16):
     """Build a jittable layered min-sum decoder for one (bg, z) code.
 
     Returns fn(llr_ch [batch, num_cols*Z] internal-convention
@@ -72,7 +72,11 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     op works on a [tile, Z] block instead of [1, Z], filling all 8
     sublanes of the vector registers (a [1, 384] op uses 1/8 of the
     VPU). VMEM state is tile * (num_cols + num_edges) * Z * 4 B
-    (~4.7 MB for BG1/Z=384 at tile=8 — comfortably resident).
+    (~4.7 MB for BG1/Z=384 at tile=8, ~9.4 MB at the default tile=16 —
+    both VMEM-resident; measured on chip 2026-08-19,
+    scripts/bench_ldpc_tile.py at batch 30 / BG1 / Z=384 / 20 iters:
+    tile=1 5.09 ms, tile=8 0.68 ms, tile=16 0.38 ms per call — 79.6k
+    codewords/s, ~5000x the XLA flooding decoder's 1875 ms).
 
     interpret=None auto-selects pallas interpret mode off-TPU so the
     fast path also runs on CPU (tests, debug)."""
