@@ -17,7 +17,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
-REFERENCE_BLER = {2.0: 0.325, 3.0: 0.0936, 4.0: 0.016, 5.0: 1.4e-3}
+# Reference committed BLER curves keyed by (config, num_tx[, mcs head])
+# — transcribed from the reference's results pickles (BASELINE.md §BLER;
+# reference scripts/evaluate.py writes them). Used for the comparison
+# column only.
+REFERENCE_BLER_TABLE = {
+    ("nrx_rt", 2): {2.0: 0.325, 3.0: 0.0936, 4.0: 0.016, 5.0: 1.4e-3},
+    ("nrx_rt", 1): {1.0: 0.203, 2.0: 0.0338, 3.0: 2.53e-3},
+    ("nrx_large", 2): {0.0: 0.761, 1.0: 0.443, 2.0: 0.150,
+                       3.0: 0.0327, 4.0: 3.34e-3, 5.0: 1.77e-4},
+    ("nrx_large", 1): {0.0: 0.476, 1.0: 0.146, 2.0: 0.0205,
+                       3.0: 1.53e-3},
+    ("nrx_rt_qpsk", 1): {-1.0: 0.305, 0.0: 0.0732, 1.0: 7.0e-3},
+    ("nrx_rt_qpsk", 2): {0.0: 0.233, 1.0: 0.0487, 2.0: 4.73e-3},
+    ("e2e_rt", 1): {1.0: 0.327, 2.0: 0.0731, 3.0: 7.8e-3, 4.0: 4e-4},
+    ("nrx_rt_var_mcs", 2, 0): {0.0: 0.187, 1.0: 0.0301, 2.0: 3.17e-3},
+    ("nrx_rt_var_mcs", 2, 1): {1.0: 0.573, 2.0: 0.232, 3.0: 0.0623,
+                               4.0: 8.3e-3},
+    ("nrx_site_specific_100k", 1): {1.0: 0.170, 5.0: 0.0519,
+                                    14.0: 2e-4},
+}
+
+
+def reference_curve(config: str, num_tx: int, mcs: int):
+    """Best-matching committed curve (exact config, else its family)."""
+    for key in ((config, num_tx, mcs), (config, num_tx)):
+        if key in REFERENCE_BLER_TABLE:
+            return REFERENCE_BLER_TABLE[key]
+    fam = [k for k in REFERENCE_BLER_TABLE
+           if config.startswith(str(k[0])) and k[1] == num_tx]
+    return REFERENCE_BLER_TABLE[fam[0]] if fam else {}
 
 
 def main():
@@ -103,9 +132,10 @@ def main():
         num_it=p.num_nrx_iter_eval, fast_ldpc=args.fast_ldpc,
         return_counts=True)
     from neural_rx_tpu.sim.simber import bler_confidence_interval
+    ref_curve = reference_curve(args.config, p.max_num_tx, args.mcs)
     print("\nEb/No |   ours   [95% CI] (blocks) | reference (10M iters)")
     for e, b, be_, bt in zip(args.snr, bler, berr, btot):
-        ref = REFERENCE_BLER.get(float(e))
+        ref = ref_curve.get(float(e))
         lo, hi = bler_confidence_interval(int(be_), int(bt))
         print(f"{e:5.1f} | {float(b):8.4f} [{lo:.4f},{hi:.4f}] "
               f"({int(be_)}/{int(bt)}) | "
