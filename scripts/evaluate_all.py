@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--target-block-errors", type=int, default=200)
     ap.add_argument("--target-bler", type=float, default=1e-4)
     ap.add_argument("--fast-ldpc", action="store_true")
+    ap.add_argument("--snr", type=float, nargs="*", default=None,
+                    help="explicit Eb/No points (default: the config's "
+                         "eval range)")
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="soft wall-clock budget: no NEW (system, tx, "
+                         "mcs) sweep starts after this many seconds")
     ap.add_argument("--untrained", action="store_true")
     ap.add_argument("--weights-dir", default="weights")
     ap.add_argument("--results-dir", default="results")
@@ -56,14 +62,25 @@ def main():
     p0 = Parameters(args.config, system="dummy", training=False)
     num_txs = args.num_tx or list(range(1, len(p0.dmrs_port_sets) + 1))
     mcs_idxs = args.mcs_idx or list(range(len(p0.mcs_index)))
-    ebno_dbs = np.arange(p0.snr_db_eval_min, p0.snr_db_eval_max,
-                         p0.snr_db_eval_stepsize, dtype=np.float32)
+    if args.snr is not None:
+        ebno_dbs = np.asarray(args.snr, dtype=np.float32)
+    else:
+        ebno_dbs = np.arange(p0.snr_db_eval_min, p0.snr_db_eval_max,
+                             p0.snr_db_eval_stepsize, dtype=np.float32)
     res_path = os.path.join(args.results_dir,
                             f"{p0.label}_results.pkl")
 
+    import time
+    t_start = time.time()
     for num_tx in num_txs:
         for mcs_idx in mcs_idxs:
             for system in args.systems:
+                if (args.budget_s is not None
+                        and time.time() - t_start > args.budget_s):
+                    print(f"budget {args.budget_s}s exhausted; stopping "
+                          f"before {system}/tx{num_tx}/mcs{mcs_idx}",
+                          flush=True)
+                    return
                 print(f"=== {system} | num_tx={num_tx} | mcs_idx="
                       f"{mcs_idx}", flush=True)
                 p = Parameters(args.config, system=system,
