@@ -49,6 +49,19 @@ def main():
                          "trains f32 (nrx_rt.cfg nrx_dtype); this is a "
                          "TPU-native opt-in — A/B the eval-loss "
                          "trajectory before adopting for long runs")
+    ap.add_argument("--from-scratch", action="store_true",
+                    help="allow random-init training when no checkpoint "
+                         "exists even though a trained weights file for "
+                         "this label is present (guards against silently "
+                         "restarting a long run after a lost ckpt: the "
+                         "gitignored *_ckpt.pkl can disappear between "
+                         "sessions while the committed *_weights.pkl "
+                         "survives)")
+    ap.add_argument("--start-step", type=int, default=0,
+                    help="seed the cumulative step counter when warm-"
+                         "starting without a checkpoint (keeps the lr "
+                         "schedule phase and eval logs truthful when "
+                         "rebuilding a lost ckpt from saved weights)")
     ap.add_argument("--ema-decay", type=float, default=0.998,
                     help="per-100-iteration-chunk Polyak/EMA decay for "
                          "an averaged weight copy saved alongside the "
@@ -105,6 +118,20 @@ def main():
     if os.path.exists(ckpt_path):
         ckpt = load_checkpoint(ckpt_path)
         step0 = ckpt[2]
+    else:
+        # No checkpoint. If trained weights for this label already exist,
+        # refuse to silently restart from random init (a lost gitignored
+        # ckpt must not erase a multi-million-iteration run): warm start
+        # from the saved weights instead unless --from-scratch.
+        saved = os.path.join(args.weights_dir, f"{base}_weights.pkl")
+        if (args.warm_start_from is None and not args.from_scratch
+                and os.path.exists(saved)):
+            args.warm_start_from = saved
+            print(f"no ckpt at {ckpt_path}; auto warm start from {saved} "
+                  f"(pass --from-scratch to random-init instead)",
+                  flush=True)
+        if args.warm_start_from is not None:
+            step0 = args.start_step
     start_phase = phase_of(step0)
     if start_phase is None:
         print("schedule complete")
@@ -136,8 +163,14 @@ def main():
     # is out of reach. Sidecar file, host-side numpy, updated per chunk.
     ema_path = os.path.join(args.weights_dir, f"{base}_ema.pkl")
     ema = None
+    fresh_init = ckpt is None and args.warm_start_from is None
     if args.ema_decay > 0:
-        if os.path.exists(ema_path):
+        if fresh_init and os.path.exists(ema_path):
+            # a sidecar EMA from an unrelated earlier run must not be
+            # averaged into a random init
+            ema = jax.tree.map(np.asarray, params)
+            print(f"ignoring stale {ema_path} (fresh init)", flush=True)
+        elif os.path.exists(ema_path):
             ema = jax.tree.map(np.asarray, load_weights(ema_path))
             print(f"resumed EMA from {ema_path}", flush=True)
         else:
