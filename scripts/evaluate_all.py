@@ -42,7 +42,26 @@ def main():
     ap.add_argument("--budget-s", type=float, default=None,
                     help="soft wall-clock budget: no NEW (system, tx, "
                          "mcs) sweep starts after this many seconds")
+    ap.add_argument("--channel", default=None,
+                    help="override the eval channel_type (reference "
+                         "1-UE slices use TDL-B100 where the 2-UE "
+                         "curves use DoubleTDL)")
     ap.add_argument("--untrained", action="store_true")
+    ap.add_argument("--ref-weights", default=None,
+                    help="import a REFERENCE Keras weight-list pickle "
+                         "(compat.reference_weights layout translation) "
+                         "for the nrx system, e.g. "
+                         "/root/reference/weights/nrx_rt_weights")
+    ap.add_argument("--weights", default=None,
+                    help="explicit weights pickle for the nrx system "
+                         "(e.g. an imported reference weight set from "
+                         "compat.reference_weights) instead of "
+                         "weights/{label}_weights.pkl")
+    ap.add_argument("--results-name", default=None,
+                    help="results pickle basename (default: "
+                         "{label}_results). Use e.g. {label}_ref for "
+                         "imported-reference-weight curves so own-"
+                         "trained results are not mixed in")
     ap.add_argument("--weights-dir", default="weights")
     ap.add_argument("--results-dir", default="results")
     ap.add_argument("--cpu", action="store_true")
@@ -67,8 +86,8 @@ def main():
     else:
         ebno_dbs = np.arange(p0.snr_db_eval_min, p0.snr_db_eval_max,
                              p0.snr_db_eval_stepsize, dtype=np.float32)
-    res_path = os.path.join(args.results_dir,
-                            f"{p0.label}_results.pkl")
+    res_name = args.results_name or f"{p0.label}_results"
+    res_path = os.path.join(args.results_dir, f"{res_name}.pkl")
 
     import time
     t_start = time.time()
@@ -83,8 +102,11 @@ def main():
                     return
                 print(f"=== {system} | num_tx={num_tx} | mcs_idx="
                       f"{mcs_idx}", flush=True)
+                kw = {}
+                if args.channel is not None:
+                    kw["overrides"] = {"channel_type": args.channel}
                 p = Parameters(args.config, system=system,
-                               training=False, num_tx_eval=num_tx)
+                               training=False, num_tx_eval=num_tx, **kw)
                 if (p.channel_type_name.startswith("DoubleTDL")
                         and num_tx != 2):
                     print("skip: DoubleTDL needs exactly 2 UEs",
@@ -92,12 +114,20 @@ def main():
                     continue
                 if system == "nrx":
                     model = E2EModel(p, training=False)
-                    wpath = os.path.join(args.weights_dir,
-                                         f"{p.label}_weights.pkl")
-                    if args.untrained or not os.path.exists(wpath):
-                        params = model.init_params(jax.random.PRNGKey(0))
+                    if args.ref_weights:
+                        from neural_rx_tpu.compat.reference_weights \
+                            import load_reference_weights
+                        params = load_reference_weights(
+                            args.ref_weights,
+                            model.init_params(jax.random.PRNGKey(0)))
                     else:
-                        params = load_weights(wpath)
+                        wpath = args.weights or os.path.join(
+                            args.weights_dir, f"{p.label}_weights.pkl")
+                        if args.untrained or not os.path.exists(wpath):
+                            params = model.init_params(
+                                jax.random.PRNGKey(0))
+                        else:
+                            params = load_weights(wpath)
                     num_it = p.num_nrx_iter_eval
                     batch = p.batch_size_eval
                 else:
