@@ -315,6 +315,12 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     for i in range(num_it):
         it_p = params["iterations"][i]
         a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
+        if sc_mask is not None:
+            # pad columns carry MLP(0) = bias-propagated junk (s is
+            # re-zeroed per conv layer, but the aggregation MLP is not);
+            # the update stack's first 3x3 conv would bleed it into the
+            # last valid column, diverging from direct-width execution
+            a = a * sc_mask[None].astype(a.dtype)
         s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv,
                           cfg.fused_convs, sc_valid)
         if (training and apply_multiloss) or i == num_it - 1:

@@ -27,6 +27,18 @@ def _params_at(n_prb):
                           config_dir=td)
 
 
+def _randomize_biases(params, key):
+    """Give every bias (1-D leaf) a nonzero value: freshly-initialized
+    biases are zero, which makes MLP(0) == 0 and hides pad-column
+    bleed-through (aggregation output on bucket-pad columns is
+    bias-propagated junk unless explicitly masked)."""
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(key, len(leaves))
+    out = [0.5 * jax.random.normal(k, l.shape, l.dtype)
+           if l.ndim == 1 else l for l, k in zip(leaves, keys)]
+    return jax.tree.unflatten(treedef, out)
+
+
 def _build(n_prb):
     from neural_rx_tpu.sim.e2e import E2EModel
     from neural_rx_tpu.deploy.aerial import AerialNRX
@@ -49,8 +61,12 @@ class TestBucketedDispatch:
         assert engine4.pad_dispatch_exact
 
         # CGNN parameter shapes are PRB-agnostic: one weight set serves
-        # both grids (the reference trains at 4 PRBs, evaluates at 132)
-        params = model4.init_params(jax.random.PRNGKey(0))
+        # both grids (the reference trains at 4 PRBs, evaluates at 132).
+        # Nonzero biases (trained-weights regime): pad columns must not
+        # bleed aggregation-MLP bias into the valid region.
+        params = _randomize_biases(
+            model4.init_params(jax.random.PRNGKey(0)),
+            jax.random.PRNGKey(7))
 
         gen3 = AerialDataGenerator(model3, engine3)
         inputs3, _ = gen3(jax.random.PRNGKey(1), 2, 10.0)

@@ -121,6 +121,12 @@ def test_cgnn_padded_fused_matches_unfused():
                      d_s=24, num_units_init=(32,), num_units_agg=((16,),) * 2,
                      num_units_state=((32,),) * 2, num_units_readout=(16,))
     params = init_cgnn_params(jax.random.PRNGKey(0), cfg)
+    # nonzero biases: pad-column aggregation junk must be masked
+    leaves, treedef = jax.tree.flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        0.5 * jax.random.normal(k, l.shape, l.dtype) if l.ndim == 1 else l
+        for l, k in zip(leaves, keys)])
     b, t, sym, sc, valid = 1, 2, 14, 48, 36
     y = jax.random.normal(jax.random.PRNGKey(1), (b, sym, sc, 8))
     pe = jax.random.normal(jax.random.PRNGKey(2), (t, sym, sc, 2))
@@ -133,6 +139,13 @@ def test_cgnn_padded_fused_matches_unfused():
     got, _ = cgnn_apply(params, cfg_f, y, pe, h, act, mm, sc_valid=sv)
     np.testing.assert_allclose(np.asarray(got[-1][0]),
                                np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
+    # and both must equal the direct-width execution over the valid
+    # region (the bucket-padding ground truth)
+    direct, _ = cgnn_apply(params, cfg, y[:, :, :valid], pe[:, :, :valid],
+                           h[:, :, :, :valid], act, mm)
+    np.testing.assert_allclose(np.asarray(want[-1][0][:, :, :, :valid]),
+                               np.asarray(direct[-1][0]),
                                rtol=5e-5, atol=5e-5)
 
 
