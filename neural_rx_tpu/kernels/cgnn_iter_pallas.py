@@ -1,0 +1,218 @@
+"""Fused CGNN iteration as a single Pallas TPU kernel.
+
+One receiver iteration (reference CGNNIt, neural_rx.py:273-306 original
+semantics) is: per-RE aggregation MLP -> masked sum-minus-self over
+users -> concat [a, s, pe] -> separable-conv update stack -> residual.
+The XLA path materializes the aggregation activations and the 130-
+channel concat in HBM every iteration (~35 MB of round-trip traffic per
+iteration at the 132-PRB real-time shape). This kernel keeps the whole
+iteration's activations in VMEM:
+
+- grid (batch, W-block), with ALL max_num_tx user states resident in
+  one kernel instance (the user sum needs every user's aggregation
+  output at the same RE, so users cannot be a grid axis);
+- the aggregation MLP runs on the MXU over [H*w_ext, d_s], the
+  sum-minus-self and normalization on the VPU, and the update stack
+  reuses the overlap-save machinery of kernels/sepconv_pallas
+  (_run_stack: 9-slice depthwise + pointwise MXU matmul per layer);
+- halo columns are fetched from neighboring W-blocks through BlockSpec
+  pipelining (double-buffered), exactly like fused_conv_stack_blocked;
+  the aggregation is per-RE so it needs no halo of its own — it simply
+  also runs on the conv halo columns;
+- out-of-grid columns (bucket padding) are re-zeroed before every conv
+  layer by _run_stack's in_grid mask, which also kills the
+  bias-propagated aggregation output on pad columns (the same semantics
+  as the XLA path's explicit `a` mask in rx/cgnn.cgnn_apply).
+
+Inputs/outputs stay in the caller's dtype (bf16 on TPU); accumulation
+is f32. Serving path only (no custom VJP): training keeps the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sepconv_pallas import _run_stack, _flatten_weights, _valid_range
+
+
+def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype,
+                 valid_ref, act_ref, *refs):
+    """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
+    per user t: (left, mid, right) pe blocks (pe is per-user — each
+    user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
+    then update-stack (dw, pw, b) per layer; then num_tx out refs.
+    act_ref (SMEM [1, num_tx]): active_tx row for this batch element.
+    valid_ref (SMEM [2]): [lo, hi) valid true-grid column range."""
+    s_blocks = refs[:3 * num_tx]
+    pe_blocks = refs[3 * num_tx:6 * num_tx]
+    agg_refs = refs[6 * num_tx:6 * num_tx + 4]
+    out_refs = refs[-num_tx:]
+    wrefs = refs[6 * num_tx + 4:-num_tx]
+
+    wb = pl.program_id(1)
+    lo, hi = valid_ref[0], valid_ref[1]
+    w_ext = w_blk + 2 * halo
+
+    def halo_cat(l, m, r):
+        return jnp.concatenate(
+            [l[0, :, w_blk - halo:, :], m[0], r[0, :, :halo, :]], axis=1)
+
+    h = s_blocks[0].shape[1]
+
+    w1 = agg_refs[0][:]
+    b1 = agg_refs[1][:]
+    w2 = agg_refs[2][:]
+    b2 = agg_refs[3][:]
+
+    # aggregation MLP per user (per-RE; also over halo columns), masked
+    # by active_tx; f32 accumulation on the MXU, activations bf16
+    s_exts, sps = [], []
+    for t in range(num_tx):
+        s_ext = halo_cat(*s_blocks[3 * t:3 * t + 3])  # [H, w_ext, d_s]
+        s_exts.append(s_ext)
+        x = s_ext.reshape(h * w_ext, s_ext.shape[-1])
+        y = jax.lax.dot_general(
+            x, w1.astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + b1.astype(jnp.float32)[None, :], 0.0)
+        y = y.astype(out_dtype)
+        y = jax.lax.dot_general(
+            y, w2.astype(y.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + b2.astype(jnp.float32)[None, :]
+        sp = y.reshape(h, w_ext, -1).astype(out_dtype)
+        sps.append(sp * act_ref[0, t].astype(out_dtype))
+
+    tot = functools.reduce(lambda p, q: p + q, sps)
+    cnt = functools.reduce(
+        lambda p, q: p + q,
+        [act_ref[0, t].astype(jnp.float32) for t in range(num_tx)]) - 1.0
+    cnt = jnp.maximum(cnt, 0.0)
+    scale = jnp.where(cnt == 0.0, 1.0,
+                      1.0 / jnp.maximum(cnt, 1.0)).astype(out_dtype)
+
+    # true-grid column index of each buffer column (pad re-zeroing)
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
+           + wb * w_blk - halo)
+    in_grid = (col >= lo) & (col < hi)
+
+    for t in range(num_tx):
+        a_t = (tot - sps[t]) * scale
+        pe_ext_t = halo_cat(*pe_blocks[3 * t:3 * t + 3])  # [H, w_ext, 2]
+        z = jnp.concatenate([a_t, s_exts[t], pe_ext_t], axis=-1)
+        u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid)
+        out_refs[t][0] = (u[:, halo:halo + w_blk, :]
+                          + s_blocks[3 * t + 1][0])
+
+
+def _flatten_dense(p, dtype):
+    """agg MLP with exactly one hidden layer -> (w1, b1, w2, b2) ops +
+    whole-array VMEM specs (matches _apply_mlp for len(hidden) == 1)."""
+    assert len(p["hidden"]) == 1, "fused iteration: 1 hidden agg layer"
+    ops, specs = [], []
+    for a in (p["hidden"][0]["w"].astype(dtype), p["hidden"][0]["b"].astype(
+            dtype), p["out"]["w"].astype(dtype), p["out"]["b"].astype(dtype)):
+        ops.append(a)
+        specs.append(pl.BlockSpec(
+            a.shape, lambda *_i, _s=a.shape: (0,) * len(_s),
+            memory_space=pltpu.VMEM))
+    return ops, specs
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_tx", "w_blk", "interpret"))
+def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
+                          num_tx: int, w_blk: int,
+                          interpret: bool | None = None):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    layers = list(upd_p["hidden"]) + [upd_p["out"]]
+    halo = -(-len(layers) // 8) * 8  # conv halo rounded to sublanes
+    b, t, h, w, d_s = s.shape
+    assert t == num_tx
+    dtype = s.dtype
+    assert halo <= w_blk
+
+    n_wb = -(-w // w_blk)
+    w_pad = n_wb * w_blk
+    # one zero block each side (neighbor fetches at the edges), plus
+    # round-up-to-block columns; true data starts at column w_blk
+    s_ext = jnp.pad(
+        s.reshape(b * t, h, w, d_s),
+        ((0, 0), (0, 0), (w_blk, 2 * w_blk + w_pad - w), (0, 0)))
+    pe_ext = jnp.pad(
+        pe.astype(dtype),
+        ((0, 0), (0, 0), (w_blk, 2 * w_blk + w_pad - w), (0, 0)))
+
+    agg_ops, agg_specs = _flatten_dense(agg_p, dtype)
+    upd_ops, upd_specs = _flatten_weights(layers, dtype)
+
+    def s_blk(tt, off):
+        return pl.BlockSpec(
+            (1, h, w_blk, d_s),
+            lambda i, wb, _t=tt, _o=off: (i * num_tx + _t, 0, wb + _o, 0),
+            memory_space=pltpu.VMEM)
+
+    def pe_blk(tt, off):
+        return pl.BlockSpec(
+            (1, h, w_blk, pe.shape[-1]),
+            lambda i, wb, _t=tt, _o=off: (_t, 0, wb + _o, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, num_tx), lambda i, wb: (i, 0),
+                             memory_space=pltpu.SMEM)]
+    operands = [sc_valid, active_tx.astype(jnp.float32)]
+    specs = []
+    for tt in range(num_tx):
+        for off in (0, 1, 2):
+            specs.append(s_blk(tt, off))
+            operands.append(s_ext)
+    for tt in range(num_tx):
+        for off in (0, 1, 2):
+            specs.append(pe_blk(tt, off))
+            operands.append(pe_ext)
+    in_specs += specs + agg_specs + upd_specs
+    operands += agg_ops + upd_ops
+
+    d_out = layers[-1]["pw"].shape[1]
+    out_specs = [pl.BlockSpec((1, h, w_blk, d_out),
+                              lambda i, wb: (i, 0, wb, 0),
+                              memory_space=pltpu.VMEM)
+                 for _ in range(num_tx)]
+    out_shapes = [jax.ShapeDtypeStruct((b, h, w_pad, d_out), dtype)
+                  for _ in range(num_tx)]
+
+    kernel = functools.partial(_iter_kernel, num_tx,
+                               len(upd_p["hidden"]), halo, w_blk, dtype)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_wb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    out = jnp.stack(outs, axis=1)  # [b, T, h, w_pad, d_out]
+    return out[:, :, :, :w, :]
+
+
+def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
+                    w_blk: int = 128, interpret: bool | None = None):
+    """One fused CGNN iteration: drop-in for
+    `_update_state(upd, s, _aggregate_user_states(agg, s, ...), pe, ...)`
+    (rx/cgnn.cgnn_apply iteration body).
+
+    s: [b, T, H, W, d_s]; pe: [T, H, W, 2]; active_tx: [b, T].
+    Returns the next state [b, T, H, W, d_s].
+    """
+    b, t, h, w, d_s = s.shape
+    vr, _ = _valid_range(sc_valid, w)
+    return _fused_iteration_impl(it_params["agg"], it_params["update"],
+                                 s, pe, active_tx, vr, num_tx=t,
+                                 w_blk=w_blk, interpret=interpret)

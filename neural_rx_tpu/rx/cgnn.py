@@ -158,6 +158,9 @@ class CGNNConfig:
     var_mcs_masking: bool = False
     initial_chest: bool = True  # h_hat input present
     fused_convs: bool = False   # pallas fused sepconv stacks (kernels/)
+    fused_iteration: bool = False  # whole-iteration pallas kernel
+    # (aggregation MLP + user sum + concat + update stack in VMEM;
+    # serving path only — requires sepconv layers and 1 hidden agg unit)
 
     @property
     def num_mcs(self):
@@ -314,15 +317,21 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     llrs, h_hats = [], []
     for i in range(num_it):
         it_p = params["iterations"][i]
-        a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
-        if sc_mask is not None:
-            # pad columns carry MLP(0) = bias-propagated junk (s is
-            # re-zeroed per conv layer, but the aggregation MLP is not);
-            # the update stack's first 3x3 conv would bleed it into the
-            # last valid column, diverging from direct-width execution
-            a = a * sc_mask[None].astype(a.dtype)
-        s = _update_state(it_p["update"], s, a, pe, cfg.layer_type_conv,
-                          cfg.fused_convs, sc_valid)
+        if cfg.fused_iteration and cfg.layer_type_conv == "sepconv":
+            from ..kernels.cgnn_iter_pallas import fused_iteration
+            s = fused_iteration(it_p, s, pe, active_tx, sc_valid)
+        else:
+            a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
+            if sc_mask is not None:
+                # pad columns carry MLP(0) = bias-propagated junk (s is
+                # re-zeroed per conv layer, but the aggregation MLP is
+                # not); the update stack's first 3x3 conv would bleed it
+                # into the last valid column, diverging from direct-
+                # width execution
+                a = a * sc_mask[None].astype(a.dtype)
+            s = _update_state(it_p["update"], s, a, pe,
+                              cfg.layer_type_conv, cfg.fused_convs,
+                              sc_valid)
         if (training and apply_multiloss) or i == num_it - 1:
             per_mcs = []
             for idx in range(cfg.num_mcs):

@@ -74,6 +74,29 @@ def main():
                     p_upd, x130, w_blk=256, interpret=False,
                     sc_valid=jnp.asarray([0, 1200], jnp.int32)))
 
+    # fused whole-iteration kernel (nrx_rt deployed shape: d_s=56,
+    # agg 56->64->56, update 114->128->128->56, T=2, 132 PRB)
+    from neural_rx_tpu.kernels.cgnn_iter_pallas import fused_iteration
+    d_s = 56
+    it_p = {"agg": {"hidden": [{"w": jnp.asarray(
+                        rng.normal(size=(d_s, 64)), jnp.bfloat16),
+                    "b": jnp.zeros((64,), jnp.bfloat16)}],
+                    "out": {"w": jnp.asarray(
+                        rng.normal(size=(64, d_s)), jnp.bfloat16),
+                            "b": jnp.zeros((d_s,), jnp.bfloat16)}},
+            "update": sep_params(2 * d_s + 2, [128, 128, d_s])}
+    s = jnp.asarray(rng.normal(size=(1, 2, 14, 1584, d_s)), jnp.bfloat16)
+    pe = jnp.asarray(rng.normal(size=(2, 14, 1584, 2)), jnp.bfloat16)
+    act = jnp.ones((1, 2), jnp.float32)
+    for w_blk in (128, 256):
+        ok &= check(f"fused_iteration T=2 d_s=56 w_blk={w_blk}",
+                    lambda w=w_blk: fused_iteration(
+                        it_p, s, pe, act, w_blk=w, interpret=False))
+    ok &= check("fused_iteration masked",
+                lambda: fused_iteration(it_p, s, pe, act,
+                                        sc_valid=jnp.int32(1200),
+                                        w_blk=128, interpret=False))
+
     # tiled layered LDPC, tile=1 (round-1 baseline) and tile=8
     code = LDPCCode(bg=1, z=384)
     llr = jnp.asarray(rng.normal(size=(30, code.num_cols * 384)),
