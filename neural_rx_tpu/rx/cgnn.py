@@ -161,6 +161,7 @@ class CGNNConfig:
     fused_iteration: bool = False  # whole-iteration pallas kernel
     # (aggregation MLP + user sum + concat + update stack in VMEM;
     # serving path only — requires sepconv layers and 1 hidden agg unit)
+    fused_iter_wblk: int = 128  # W-block of the fused-iteration kernel
 
     @property
     def num_mcs(self):
@@ -319,7 +320,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
         it_p = params["iterations"][i]
         if cfg.fused_iteration and cfg.layer_type_conv == "sepconv":
             from ..kernels.cgnn_iter_pallas import fused_iteration
-            s = fused_iteration(it_p, s, pe, active_tx, sc_valid)
+            s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
+                                w_blk=cfg.fused_iter_wblk)
         else:
             a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
             if sc_mask is not None:
