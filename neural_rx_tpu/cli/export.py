@@ -52,15 +52,17 @@ def main():
             var_mcs_masking=pr.mcs_var_mcs_masking,
             initial_chest="ls" if pr.initial_chest else None,
             mask_pilots=pr.mask_pilots, nrx_dtype=jnp.bfloat16,
-            # inference-only engines: fused pallas sepconv stacks win
-            # the on-chip A/B at serving batch sizes (0.876 vs 1.056
-            # ms/slot at batch 1) while XLA convs batch better (batch
-            # 16: 1003 vs 822 slots/s) — STATUS.md. NRX_FUSED_CONVS
-            # overrides the batch-adaptive default.
+            # inference-only engines: the fused whole-iteration kernel
+            # (+ fused init stack) wins the on-chip A/B at BOTH batch
+            # regimes (0.850 ms/slot b1, 1021 slots/s b16 —
+            # scripts/bench_fused_iter.py, STATUS.md). NRX_FUSED_CONVS /
+            # NRX_FUSED_ITER override.
             fused_convs=(
                 os.environ["NRX_FUSED_CONVS"] == "1"
-                if "NRX_FUSED_CONVS" in os.environ
-                else args.batch * pr.max_num_tx <= 8))
+                if "NRX_FUSED_CONVS" in os.environ else True),
+            fused_iteration=(
+                os.environ["NRX_FUSED_ITER"] == "1"
+                if "NRX_FUSED_ITER" in os.environ else True))
         wpath = os.path.join(args.weights_dir, f"{pr.label}_weights.pkl")
         if os.path.exists(wpath):
             params = load_weights(wpath)

@@ -46,14 +46,16 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype,
     per user t: (left, mid, right) pe blocks (pe is per-user — each
     user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
     then update-stack (dw, pw, b) per layer; then num_tx out refs.
-    act_ref (SMEM [1, num_tx]): active_tx row for this batch element.
-    valid_ref (SMEM [2]): [lo, hi) valid true-grid column range."""
+    act_ref (SMEM [batch, num_tx], whole array — a (1, T) block would
+    violate the (8, 128) block rule at batch > 1): active_tx, indexed by
+    program_id(0). valid_ref (SMEM [2]): [lo, hi) valid column range."""
     s_blocks = refs[:3 * num_tx]
     pe_blocks = refs[3 * num_tx:6 * num_tx]
     agg_refs = refs[6 * num_tx:6 * num_tx + 4]
     out_refs = refs[-num_tx:]
     wrefs = refs[6 * num_tx + 4:-num_tx]
 
+    bi = pl.program_id(0)
     wb = pl.program_id(1)
     lo, hi = valid_ref[0], valid_ref[1]
     w_ext = w_blk + 2 * halo
@@ -86,12 +88,12 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype,
             preferred_element_type=jnp.float32)
         y = y + b2.astype(jnp.float32)[None, :]
         sp = y.reshape(h, w_ext, -1).astype(out_dtype)
-        sps.append(sp * act_ref[0, t].astype(out_dtype))
+        sps.append(sp * act_ref[bi, t].astype(out_dtype))
 
     tot = functools.reduce(lambda p, q: p + q, sps)
     cnt = functools.reduce(
         lambda p, q: p + q,
-        [act_ref[0, t].astype(jnp.float32) for t in range(num_tx)]) - 1.0
+        [act_ref[bi, t].astype(jnp.float32) for t in range(num_tx)]) - 1.0
     cnt = jnp.maximum(cnt, 0.0)
     scale = jnp.where(cnt == 0.0, 1.0,
                       1.0 / jnp.maximum(cnt, 1.0)).astype(out_dtype)
@@ -165,8 +167,7 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
             memory_space=pltpu.VMEM)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, num_tx), lambda i, wb: (i, 0),
-                             memory_space=pltpu.SMEM)]
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [sc_valid, active_tx.astype(jnp.float32)]
     specs = []
     for tt in range(num_tx):

@@ -40,12 +40,16 @@ class NeuralPUSCHReceiver:
                  initial_chest: str | None = "ls",
                  mask_pilots: bool = False,
                  nrx_dtype=jnp.float32,
-                 fused_convs: bool | None = None):
+                 fused_convs: bool | None = None,
+                 fused_iteration: bool | None = None):
+        import os
         if fused_convs is None:
             # deployment switch: flipped once the on-chip A/B
             # (scripts/bench_fused_convs.py) decides the winner
-            import os
             fused_convs = os.environ.get("NRX_FUSED_CONVS", "0") == "1"
+        if fused_iteration is None:
+            # serving-only (no VJP): enable explicitly or via env
+            fused_iteration = os.environ.get("NRX_FUSED_ITER", "0") == "1"
         self.transmitters = list(transmitters)  # one per MCS
         self.rg = self.transmitters[0].resource_grid
         self.num_rx_ant = num_rx_ant
@@ -66,7 +70,8 @@ class NeuralPUSCHReceiver:
             layer_type_conv=layer_type_conv,
             var_mcs_masking=var_mcs_masking,
             initial_chest=initial_chest is not None,
-            fused_convs=fused_convs)
+            fused_convs=fused_convs,
+            fused_iteration=fused_iteration)
 
         # Positional encoding from the configured slot's DMRS positions
         slot = self.rg.configs[0].carrier.slot_number

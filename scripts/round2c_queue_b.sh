@@ -28,9 +28,6 @@ EA="python scripts/evaluate_all.py"
 run 1200 $EA --config nrx_rt --num-tx 2 --systems baseline_lsnn_lmmse \
     --snr -2 -1 0 1 2 3 4 5 --fast-ldpc --max-iter 1000 \
     --target-block-errors 200 --target-bler 1e-3
-run 2400 $EA --config nrx_rt_qpsk --num-tx 2 --systems nrx \
-    --fast-ldpc --max-iter 1000 --target-block-errors 200 \
-    --target-bler 1e-3
 run 1500 $EA --config nrx_rt_qpsk --num-tx 1 --channel TDL-B100 \
     --systems nrx --fast-ldpc --max-iter 1000 \
     --target-block-errors 200 --target-bler 1e-3
