@@ -156,15 +156,36 @@ def bler_confidence_interval(block_errors: int, num_blocks: int,
 def save_results(path: str, label: str, system_name: str, num_tx: int,
                  mcs_idx: int, ebno_dbs, bers, blers):
     """Append-update a results pickle keyed (system, num_tx, mcs_idx)
-    (reference evaluate.py:116-125,203-206 format)."""
+    (reference evaluate.py:116-125,203-206 format: ONE shared SNR grid
+    per pickle). Sweeps run at different grids are merged onto the
+    union grid, NaN-padding every curve where it was not measured —
+    without this, a shorter re-run would silently misalign previously
+    saved curves against the stored grid."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    new_e = np.asarray(ebno_dbs, np.float64)
     if os.path.exists(path):
         with open(path, "rb") as f:
             ebno_arr, ber_d, bler_d = pickle.load(f)
+        ebno_arr = np.asarray(ebno_arr, np.float64)
     else:
-        ebno_arr, ber_d, bler_d = np.asarray(ebno_dbs), {}, {}
+        ebno_arr, ber_d, bler_d = new_e, {}, {}
+
+    union = np.union1d(ebno_arr, new_e)
+
+    def remap(curve, grid):
+        curve = np.asarray(curve, np.float64)
+        n = min(len(curve), len(grid))
+        out = np.full(len(union), np.nan)
+        for i in range(n):
+            j = int(np.argmin(np.abs(union - grid[i])))
+            out[j] = curve[i]
+        return out
+
+    if not np.array_equal(union, ebno_arr):
+        ber_d = {k: remap(v, ebno_arr) for k, v in ber_d.items()}
+        bler_d = {k: remap(v, ebno_arr) for k, v in bler_d.items()}
     keyname = (system_name, num_tx, mcs_idx)
-    ber_d[keyname] = np.asarray(bers)
-    bler_d[keyname] = np.asarray(blers)
+    ber_d[keyname] = remap(bers, new_e)
+    bler_d[keyname] = remap(blers, new_e)
     with open(path, "wb") as f:
-        pickle.dump((np.asarray(ebno_dbs), ber_d, bler_d), f)
+        pickle.dump((union, ber_d, bler_d), f)

@@ -61,6 +61,12 @@ def main():
         refs = {f[:-len("_results")] for f in os.listdir(args.ref)
                 if f.endswith("_results")}
         labels = sorted(ours & refs)
+        # imported-reference-weight curves: ours "<label>_ref" compares
+        # against the reference's own "<label>" curve (same weights on
+        # both sides — the RX-parity overlay)
+        labels += sorted(f"{l}_ref" for l in
+                         {o[:-4] for o in ours if o.endswith("_ref")}
+                         & refs)
     else:
         labels = args.labels
     if not labels:
@@ -75,7 +81,9 @@ def main():
     for label in labels:
         e_o, _, bl_o = _load(os.path.join(args.ours,
                                           f"{label}_results.pkl"))
-        e_r, _, bl_r = _load(os.path.join(args.ref, f"{label}_results"))
+        ref_label = label[:-4] if label.endswith("_ref") else label
+        e_r, _, bl_r = _load(os.path.join(args.ref,
+                                          f"{ref_label}_results"))
         keys = sorted(set(bl_o) & set(bl_r))
         if not keys:
             print(f"{label}: no common keys "
@@ -85,13 +93,19 @@ def main():
         colors = plt.cm.tab10.colors
         for i, k in enumerate(keys):
             c = colors[i % 10]
-            ax.semilogy(e_o, bl_o[k], "-o", color=c, ms=3,
+            # early-stopped sweeps store fewer measured points than the
+            # SNR grid (or vice versa): align on the common prefix
+            n_o = min(len(e_o), len(bl_o[k]))
+            n_r = min(len(e_r), len(bl_r[k]))
+            eo, blo = e_o[:n_o], np.asarray(bl_o[k][:n_o])
+            er, blr = e_r[:n_r], np.asarray(bl_r[k][:n_r])
+            ax.semilogy(eo, blo, "-o", color=c, ms=3,
                         label=f"{k[0]} tx{k[1]} mcs{k[2]} (ours)")
-            ax.semilogy(e_r, bl_r[k], "--s", color=c, ms=3, alpha=0.6,
+            ax.semilogy(er, blr, "--s", color=c, ms=3, alpha=0.6,
                         label="(reference)")
             for tgt in (1e-1, 1e-2):
-                s_o = snr_at_bler(e_o, bl_o[k], tgt)
-                s_r = snr_at_bler(e_r, bl_r[k], tgt)
+                s_o = snr_at_bler(eo, blo, tgt)
+                s_r = snr_at_bler(er, blr, tgt)
                 rows.append((label, k[0], k[1], k[2], tgt, s_o, s_r,
                              s_o - s_r))
         ax.set_xlabel("Eb/No [dB]")
