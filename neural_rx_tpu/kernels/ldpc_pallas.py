@@ -61,8 +61,24 @@ def _pad_lanes(z: int) -> int:
     return ((z + 127) // 128) * 128
 
 
+def auto_tile(code: LDPCCode, budget_bytes: int = 12 * 2**20) -> int:
+    """Largest power-of-two codeword tile whose whole VMEM footprint
+    (APP + check-message scratch + double-buffered in/out blocks) fits
+    `budget_bytes`. tile=16 at BG1/Z=384 totals ~16.1 MB — right AT the
+    16 MB scoped-vmem limit: some surrounding programs tip it over the
+    edge (observed: the 64qam eval step OOMs while the nrx_rt one
+    compiles), so the default budget leaves headroom."""
+    zp = _pad_lanes(code.z)
+    per_cw = (code.num_cols + code.num_edges) * zp * 4  # scratch
+    per_cw += 4 * code.num_cols * zp * 4  # 2x double-buffered in+out
+    tile = 16
+    while tile > 1 and tile * per_cw > budget_bytes:
+        tile //= 2
+    return tile
+
+
 def make_decoder(code: LDPCCode, num_iter: int = 20,
-                 interpret: bool | None = None, tile: int = 16):
+                 interpret: bool | None = None, tile: int | None = None):
     """Build a jittable layered min-sum decoder for one (bg, z) code.
 
     Returns fn(llr_ch [batch, num_cols*Z] internal-convention
@@ -83,6 +99,8 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     import jax
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tile is None:
+        tile = auto_tile(code)
     z = code.z
     assert z % 128 == 0, (
         "pallas layered decoder supports lifting sizes that are lane "
