@@ -87,8 +87,11 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     `tile` codewords are decoded per kernel instance: every per-row VPU
     op works on a [tile, Z] block instead of [1, Z], filling all 8
     sublanes of the vector registers (a [1, 384] op uses 1/8 of the
-    VPU). VMEM state is tile * (num_cols + num_edges) * Z * 4 B
-    (~4.7 MB for BG1/Z=384 at tile=8, ~9.4 MB at the default tile=16 —
+    VPU). The tile is auto-sized by `auto_tile` to a 12 MB VMEM budget
+    counting scratch plus 4x double-buffered in/out blocks (tile=8 for
+    BG1/Z=384); pass `tile` to override. VMEM state is
+    tile * (num_cols + num_edges) * Z * 4 B
+    (~4.7 MB for BG1/Z=384 at tile=8, ~9.4 MB at tile=16 —
     both VMEM-resident; measured on chip 2026-08-19,
     scripts/bench_ldpc_tile.py at batch 30 / BG1 / Z=384 / 20 iters:
     tile=1 5.09 ms, tile=8 0.68 ms, tile=16 0.38 ms per call — 79.6k
@@ -102,18 +105,30 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     if tile is None:
         tile = auto_tile(code)
     z = code.z
-    assert z % 128 == 0, (
-        "pallas layered decoder supports lifting sizes that are lane "
-        "multiples (128/256/384); use phy.nr.ldpc.decode otherwise")
     zp = _pad_lanes(z)
     n_cols = code.num_cols
     plan = _row_plan(code)
     n_edges = code.num_edges
 
     def _roll(x, shift):
-        # x: [tile, zp]; cyclic lane rotate by a STATIC shift. zp == z
-        # is guaranteed (z % 128 == 0 guard), so the rotate is exact.
-        return pltpu.roll(x, shift % z, 1)
+        # x: [tile, zp]; cyclic rotate of the leading z lanes by a
+        # STATIC shift: out[:, j] = x[:, (j + s) % z] for j < z.
+        # When zp == z this is one lane-rotate. Otherwise (z not a lane
+        # multiple, e.g. the e2e configs' Z=352) it is composed from two
+        # full-zp rotates + a lane select: a covers j < z-s (reads
+        # x[j+s], all indices < z), b covers j >= z-s (reads x[j+s-z],
+        # indices < s) — pad lanes are never read for valid out lanes,
+        # so whatever garbage they accumulate stays in the pad lanes
+        # (every other decoder op is lane-wise).
+        s = (-shift) % z  # pltpu.roll(x, r)[j] = x[(j - r) % zp]
+        if s == 0:
+            return x
+        if zp == z:
+            return pltpu.roll(x, zp - s, 1)
+        a = pltpu.roll(x, zp - s, 1)
+        b = pltpu.roll(x, (zp - s + z) % zp, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.where(col < z - s, a, b)
 
     def kernel(llr_ref, out_ref, app_ref, c2v_ref):
         # HBM blocks are [tile, n_cols, zp] (batch leading: Mosaic needs
@@ -242,12 +257,10 @@ def tb_decode_fast(cfg, llr: jnp.ndarray, num_iter: int = 20,
                    interpret: bool | None = None):
     """Drop-in fast variant of phy.nr.tb.tb_decode using the pallas
     layered decoder (same I/O contract; delegates the shared
-    descramble/rate-recover/CRC scaffolding to tb_decode). Falls back to
-    the flooding decoder for lifting sizes that are not lane
-    multiples."""
+    descramble/rate-recover/CRC scaffolding to tb_decode). Covers every
+    lifting size (non-lane-multiple Z, e.g. the e2e configs' Z=352, use
+    the two-rotate composed cyclic shift)."""
     from ..phy.nr.tb import tb_decode
-    if cfg.z % 128 != 0:
-        return tb_decode(cfg, llr)
     decoder = make_decoder(cfg.code, num_iter=num_iter,
                            interpret=interpret)
     return tb_decode(cfg, llr, decoder=decoder)

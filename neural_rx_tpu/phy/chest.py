@@ -34,6 +34,17 @@ class LSChannelEstimator:
                  focc_removal: bool = True):
         rg = resource_grid
         self.rg = rg
+        # "lin_extrap" mirrors Sionna's LinearInterpolator exactly:
+        # linear EXTRAPOLATION beyond the first/last pilot in both
+        # frequency and time (slope of the nearest pilot pair, no
+        # clipping). Plain "lin" clamps to the edge pilot value (flat
+        # extension) — measurably more robust under noise+Doppler; the
+        # delta between the two quantifies part of the +dB shift of our
+        # lslin baseline vs the reference's committed curve (see
+        # scripts/chest_ab.py and STATUS.md).
+        self.extrapolate = interpolation_type == "lin_extrap"
+        if self.extrapolate:
+            interpolation_type = "lin"
         self.interpolation_type = interpolation_type
         slot = rg.configs[0].carrier.slot_number if slot_number is None \
             else slot_number
@@ -219,23 +230,47 @@ class LSChannelEstimator:
                 # linear interp across subcarriers (static index arithmetic)
                 xi = np.arange(n_sc, dtype=np.float32)
                 # for each target sc find left/right pilot neighbors
-                left = np.clip(np.searchsorted(scs, xi, "right") - 1,
-                               0, len(scs) - 1)
-                right = np.clip(left + 1, 0, len(scs) - 1)
-                x0, x1 = scs[left], scs[right]
-                w1 = np.where(x1 > x0, (xi - x0) / np.maximum(x1 - x0, 1), 0.)
-                w1 = np.clip(w1, 0.0, 1.0).astype(np.float32)
+                if self.extrapolate:
+                    # slope of the nearest pilot pair continues past the
+                    # edges (Sionna LinearInterpolator semantics)
+                    left = np.clip(np.searchsorted(scs, xi, "right") - 1,
+                                   0, max(len(scs) - 2, 0))
+                    right = np.clip(left + 1, 0, len(scs) - 1)
+                    x0, x1 = scs[left], scs[right]
+                    w1 = np.where(x1 > x0,
+                                  (xi - x0) / np.maximum(x1 - x0, 1), 0.)
+                    w1 = w1.astype(np.float32)
+                else:
+                    left = np.clip(np.searchsorted(scs, xi, "right") - 1,
+                                   0, len(scs) - 1)
+                    right = np.clip(left + 1, 0, len(scs) - 1)
+                    x0, x1 = scs[left], scs[right]
+                    w1 = np.where(x1 > x0,
+                                  (xi - x0) / np.maximum(x1 - x0, 1), 0.)
+                    w1 = np.clip(w1, 0.0, 1.0).astype(np.float32)
                 h0 = h_tx[..., idx[left]]
                 h1 = h_tx[..., idx[right]]
                 per_sym.append(h0 + (h1 - h0) * jnp.asarray(w1))
-            # time: piecewise-linear between DMRS symbols, flat at edges
+            # time: piecewise-linear between DMRS symbols; edges are flat
+            # ("lin") or slope-extrapolated ("lin_extrap", Sionna)
             t = np.asarray(dmrs_syms, np.float32)
             ti = np.arange(n_sym, dtype=np.float32)
-            lt = np.clip(np.searchsorted(t, ti, "right") - 1, 0, len(t) - 1)
-            rt = np.clip(lt + 1, 0, len(t) - 1)
-            t0, t1 = t[lt], t[rt]
-            wt = np.where(t1 > t0, (ti - t0) / np.maximum(t1 - t0, 1), 0.)
-            wt = np.clip(wt, 0.0, 1.0).astype(np.float32)
+            if self.extrapolate and len(t) > 1:
+                lt = np.clip(np.searchsorted(t, ti, "right") - 1,
+                             0, len(t) - 2)
+                rt = np.clip(lt + 1, 0, len(t) - 1)
+                t0, t1 = t[lt], t[rt]
+                wt = np.where(t1 > t0,
+                              (ti - t0) / np.maximum(t1 - t0, 1), 0.)
+                wt = wt.astype(np.float32)
+            else:
+                lt = np.clip(np.searchsorted(t, ti, "right") - 1,
+                             0, len(t) - 1)
+                rt = np.clip(lt + 1, 0, len(t) - 1)
+                t0, t1 = t[lt], t[rt]
+                wt = np.where(t1 > t0,
+                              (ti - t0) / np.maximum(t1 - t0, 1), 0.)
+                wt = np.clip(wt, 0.0, 1.0).astype(np.float32)
             hs = jnp.stack(per_sym, axis=-2)  # [b, ant, n_dmrs_syms, sc]
             h0 = hs[..., lt, :]
             h1 = hs[..., rt, :]

@@ -318,11 +318,13 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     llrs, h_hats = [], []
     for i in range(num_it):
         it_p = params["iterations"][i]
-        if (cfg.fused_iteration and cfg.layer_type_conv == "sepconv"
+        if (cfg.fused_iteration and not training
+                and cfg.layer_type_conv == "sepconv"
                 and len(it_p["agg"]["hidden"]) == 1):
             # kernel supports the (universal in the config matrix)
             # 1-hidden-layer aggregation MLP; anything else falls back
-            # to the XLA path below
+            # to the XLA path below. Serving path only: the pallas_call
+            # has no custom VJP, so training always takes the XLA path
             from ..kernels.cgnn_iter_pallas import fused_iteration
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
                                 w_blk=cfg.fused_iter_wblk)

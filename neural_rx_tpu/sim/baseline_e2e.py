@@ -47,8 +47,15 @@ class BaselineE2EModel(E2EModel):
         self.w = np.stack([c.precoding_matrix()
                            for c in p.transmitters[0].configs])
         if self.chest_type in ("lslin", "lsnn"):
+            # "lin_extrap" = Sionna LinearInterpolator semantics (slope
+            # extrapolation past the first/last pilot in freq and time)
+            # — the reference's exact baseline chain. Our clamped "lin"
+            # variant has ~0.5 dB lower chest MSE at the edge symbols
+            # (scripts/chest_ab.py) and was the main contributor to the
+            # round-2 +0.64 dB favorable baseline shift; the faithful
+            # variant is the default so baseline curves are comparable.
             self.ls = LSChannelEstimator(
-                rg, "lin" if self.chest_type == "lslin" else "nn")
+                rg, "lin_extrap" if self.chest_type == "lslin" else "nn")
         elif self.chest_type == "lmmse":
             self.ls = LSChannelEstimator(rg, "nn")  # pilot-RE LS source
             covs = {}

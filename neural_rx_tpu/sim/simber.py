@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
+import warnings
 
 import numpy as np
 import jax
@@ -162,11 +163,14 @@ def save_results(path: str, label: str, system_name: str, num_tx: int,
     without this, a shorter re-run would silently misalign previously
     saved curves against the stored grid."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    new_e = np.asarray(ebno_dbs, np.float64)
+    # round to 1e-6 dB so float32-arange-derived and float64-literal
+    # grids describing the same nominal SNR collapse to one union point
+    # (e.g. evaluate_all's arange vs an explicit --snr list)
+    new_e = np.round(np.asarray(ebno_dbs, np.float64), 6)
     if os.path.exists(path):
         with open(path, "rb") as f:
             ebno_arr, ber_d, bler_d = pickle.load(f)
-        ebno_arr = np.asarray(ebno_arr, np.float64)
+        ebno_arr = np.round(np.asarray(ebno_arr, np.float64), 6)
     else:
         ebno_arr, ber_d, bler_d = new_e, {}, {}
 
@@ -174,6 +178,10 @@ def save_results(path: str, label: str, system_name: str, num_tx: int,
 
     def remap(curve, grid):
         curve = np.asarray(curve, np.float64)
+        if len(curve) != len(grid):
+            warnings.warn(
+                f"save_results({path}): curve length {len(curve)} != "
+                f"grid length {len(grid)}; extra entries dropped")
         n = min(len(curve), len(grid))
         out = np.full(len(union), np.nan)
         for i in range(n):

@@ -40,13 +40,20 @@ REFERENCE_BLER_TABLE = {
 
 
 def reference_curve(config: str, num_tx: int, mcs: int):
-    """Best-matching committed curve (exact config, else its family)."""
+    """Committed curve for the exact config (else its longest-prefix
+    family match, announced on stdout so the comparison column is
+    never silently mislabelled)."""
     for key in ((config, num_tx, mcs), (config, num_tx)):
         if key in REFERENCE_BLER_TABLE:
             return REFERENCE_BLER_TABLE[key]
-    fam = [k for k in REFERENCE_BLER_TABLE
-           if config.startswith(str(k[0])) and k[1] == num_tx]
-    return REFERENCE_BLER_TABLE[fam[0]] if fam else {}
+    fam = sorted((k for k in REFERENCE_BLER_TABLE
+                  if config.startswith(str(k[0])) and k[1] == num_tx),
+                 key=lambda k: -len(str(k[0])))
+    if not fam:
+        return {}
+    print(f"[eval] no committed reference curve for {config!r}; "
+          f"comparison column uses family fallback {fam[0]}")
+    return REFERENCE_BLER_TABLE[fam[0]]
 
 
 def main():

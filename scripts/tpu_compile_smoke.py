@@ -106,6 +106,15 @@ def main():
         ok &= check(f"ldpc layered tile={tile} BG1/Z=384",
                     lambda d=dec: d(llr))
 
+    # non-lane-multiple lifting (e2e configs: BG1/Z=352) - exercises the
+    # two-rotate composed cyclic shift on real Mosaic
+    code352 = LDPCCode(bg=1, z=352)
+    llr352 = jnp.asarray(rng.normal(size=(8, code352.num_cols * 352)),
+                         jnp.float32)
+    dec352 = make_decoder(code352, num_iter=2, interpret=False)
+    ok &= check("ldpc layered BG1/Z=352 (two-rotate shift)",
+                lambda: dec352(llr352))
+
     print("SMOKE", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)
 

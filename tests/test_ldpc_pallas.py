@@ -91,14 +91,44 @@ class TestAlgorithmEquivalence:
             (errs_lay, errs_ref, n)
 
 
-class TestTBFallback:
-    def test_fallback_for_odd_lifting(self):
+class TestNonLaneMultipleZ:
+    """Lifting sizes that are not lane multiples use the two-rotate
+    composed cyclic shift; the kernel must stay bit-exact vs the
+    oracle (pad lanes accumulate garbage but are never read back)."""
+
+    @pytest.mark.parametrize("bg,z", [(2, 52), (2, 208)])
+    def test_bit_exact_small_z(self, bg, z):
+        from neural_rx_tpu.phy.nr.ldpc import get_code
+        code = get_code(bg, z)
+        rng = np.random.default_rng(7)
+        llr = rng.normal(size=(3, code.n_full)).astype(np.float32) * 2
+        dec = make_decoder(code, num_iter=3, interpret=True)
+        got = np.asarray(dec(jnp.asarray(llr)))
+        for i in range(3):
+            want = reference_layered_decode(code, llr[i], num_iter=3)
+            np.testing.assert_array_equal(got[i], want, err_msg=f"cw {i}")
+
+    def test_bit_exact_z352_bg1(self):
+        # the e2e configs' eval transport block is BG1/Z=352
+        from neural_rx_tpu.phy.nr.ldpc import get_code
+        code = get_code(1, 352)
+        rng = np.random.default_rng(11)
+        llr = rng.normal(size=(1, code.n_full)).astype(np.float32) * 2
+        dec = make_decoder(code, num_iter=1, interpret=True)
+        got = np.asarray(dec(jnp.asarray(llr)))[0]
+        want = reference_layered_decode(code, llr[0], num_iter=1)
+        np.testing.assert_array_equal(got, want)
+
+    def test_tb_decode_fast_odd_lifting(self):
         cfg_small = TBConfig(352, 960, 2, 0.37)
-        if cfg_small.z % 128 == 0:
-            pytest.skip("unexpected lane-multiple z")
-        llr = jnp.zeros((2, 960))
-        b_hat, ok = tb_decode_fast(cfg_small, llr)
+        assert cfg_small.z % 128 != 0, "want a non-lane-multiple z"
+        info = binary_source(jax.random.PRNGKey(5), (2, cfg_small.tb_size))
+        c = tb_encode(cfg_small, info)
+        llr = (2.0 * c - 1.0) * 8.0  # Sionna convention log(p1/p0)
+        b_hat, ok = tb_decode_fast(cfg_small, llr, interpret=True)
         assert b_hat.shape == (2, 352)
+        np.testing.assert_array_equal(np.asarray(b_hat), np.asarray(info))
+        assert bool(np.all(np.asarray(ok)))
 
 
 class TestTiledBatch:
