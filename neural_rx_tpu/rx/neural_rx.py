@@ -169,6 +169,12 @@ class NeuralPUSCHReceiver:
             params["cgnn"], self.cgnn_cfg, y_in, jnp.asarray(self.pe),
             h_in, active_tx, mcs_ue_mask, num_it=num_it,
             training=False, dtype=self.nrx_dtype)
+        # eval decodes ONE MCS per call: mcs_arr_eval[0] (matching the
+        # reference's single-TBDecoder eval simplification,
+        # neural_rx.py:1581-1603). Mixed-MCS scenarios go through
+        # sim.mixed_mcs, which schedules the other MCSs on the other UEs
+        # and reads back only UE 0; calling apply() expecting every
+        # UE's own-MCS bits is a misuse.
         mcs0 = mcs_arr_eval[0]
         llr = llrs[-1][mcs0]  # [b, T, sym, sc, bits]
         llr_data = self.rg.demap_data(llr)  # [b, T, n_data, bits]

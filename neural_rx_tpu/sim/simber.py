@@ -35,11 +35,14 @@ def make_eval_step(model, params_holder, mcs_arr_eval_idx: int = 0,
         b, b_hat, crc = model(params, key, batch_size, ebno_db,
                               mcs_arr_eval_idx=mcs_arr_eval_idx,
                               num_it=num_it, **kwargs)
-        errs = jnp.sum(jnp.abs(b - b_hat), axis=-1)  # [batch, T]
+        # b is [batch, T, tb] for the standard models, [batch, tb] for
+        # the single-UE mixed-MCS wrappers — one TB per leading element
+        # either way
+        errs = jnp.sum(jnp.abs(b - b_hat), axis=-1)
         bit_errors = jnp.sum(errs)
         block_errors = jnp.sum((errs > 0).astype(jnp.int32))
-        num_bits = b.shape[0] * b.shape[1] * b.shape[2]
-        num_blocks = b.shape[0] * b.shape[1]
+        num_bits = int(np.prod(b.shape))
+        num_blocks = int(np.prod(b.shape[:-1]))
         return (bit_errors.astype(jnp.int64), jnp.int64(num_bits),
                 block_errors.astype(jnp.int64), jnp.int64(num_blocks))
 
