@@ -31,16 +31,18 @@ is f32. Serving path only (no custom VJP): training keeps the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .sepconv_pallas import _run_stack, _flatten_weights, _valid_range
+from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
+                             _mxu_default)
 
 
-def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype,
+def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
                  valid_ref, act_ref, *refs):
     """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
     per user t: (left, mid, right) pe blocks (pe is per-user — each
@@ -107,7 +109,8 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype,
         a_t = (tot - sps[t]) * scale
         pe_ext_t = halo_cat(*pe_blocks[3 * t:3 * t + 3])  # [H, w_ext, 2]
         z = jnp.concatenate([a_t, s_exts[t], pe_ext_t], axis=-1)
-        u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid)
+        u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
+                       mxu=mxu)
         out_refs[t][0] = (u[:, halo:halo + w_blk, :]
                           + s_blocks[3 * t + 1][0])
 
@@ -127,10 +130,12 @@ def _flatten_dense(p, dtype):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_tx", "w_blk", "interpret"))
+                   static_argnames=("num_tx", "w_blk", "interpret",
+                                    "mxu"))
 def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                           num_tx: int, w_blk: int,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None,
+                          mxu: bool = False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
@@ -190,7 +195,8 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                   for _ in range(num_tx)]
 
     kernel = functools.partial(_iter_kernel, num_tx,
-                               len(upd_p["hidden"]), halo, w_blk, dtype)
+                               len(upd_p["hidden"]), halo, w_blk, dtype,
+                               mxu)
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_wb),
@@ -204,7 +210,9 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
 
 def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
-                    w_blk: int = 128, interpret: bool | None = None):
+                    w_blk: int | None = None,
+                    interpret: bool | None = None,
+                    mxu: bool | None = None):
     """One fused CGNN iteration: drop-in for
     `_update_state(upd, s, _aggregate_user_states(agg, s, ...), pe, ...)`
     (rx/cgnn.cgnn_apply iteration body).
@@ -213,7 +221,10 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     Returns the next state [b, T, H, W, d_s].
     """
     b, t, h, w, d_s = s.shape
+    if w_blk is None:
+        w_blk = int(os.environ.get("NRX_ITER_WBLK", "128"))
     vr, _ = _valid_range(sc_valid, w)
     return _fused_iteration_impl(it_params["agg"], it_params["update"],
                                  s, pe, active_tx, vr, num_tx=t,
-                                 w_blk=w_blk, interpret=interpret)
+                                 w_blk=w_blk, interpret=interpret,
+                                 mxu=_mxu_default(mxu))

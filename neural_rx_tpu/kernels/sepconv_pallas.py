@@ -25,6 +25,7 @@ the XLA path until the kernel is profiled on hardware.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -56,25 +57,61 @@ def _dw3x3(x, dw):
     return acc
 
 
-def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None):
+def _sepconv_mxu(x, dw, pw):
+    """Separable 3x3 conv with ALL multiply-accumulates on the MXU.
+    x: [H, W, C] -> f32 [H*W, O].
+
+    Folds each tap's diagonal depthwise scale into the pointwise matrix
+    (out = sum_s shift_s(x) @ (diag(dw_s) @ pw)): nine bf16 MXU matmuls
+    with a shared f32 accumulator replace the VPU 9-tap f32 stencil plus
+    one f32 MXU matmul of `_dw3x3` + pointwise. The depthwise stencil is
+    VPU-bound (9 f32 MACs/element) while the MXU sits idle; trading it
+    for 9x the (tiny) pointwise MXU work wins when C is small. Uses the
+    same zero-padded static slices as _dw3x3, so edge semantics are
+    bit-identical SAME-conv; the folded weights round to bf16 (same
+    order of rounding as the bf16 activations)."""
+    h, w, c = x.shape
+    zc = jnp.zeros((h, 1, c), x.dtype)
+    xp = jnp.concatenate([zc, x, zc], axis=1)
+    zr = jnp.zeros((1, w + 2, c), x.dtype)
+    xp = jnp.concatenate([zr, xp, zr], axis=0)
+    pw32 = pw.astype(jnp.float32)
+    acc = jnp.zeros((h * w, pw.shape[1]), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sh = jax.lax.slice(
+                xp, (1 + dy, 1 + dx, 0), (1 + dy + h, 1 + dx + w, c))
+            ws = (dw[dy + 1, dx + 1].astype(jnp.float32)[:, None]
+                  * pw32).astype(x.dtype)
+            acc = acc + jax.lax.dot_general(
+                sh.reshape(h * w, c), ws, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+    return acc
+
+
+def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False):
     """Shared layer loop: depthwise (VPU) -> pointwise (MXU) -> bias,
     ReLU on hidden layers. wrefs: (dw [3,3,C], pw [C,O], b [O]) per
     layer. in_grid ([1, W, 1] bool or None): out-of-grid columns to
     re-zero before EVERY layer (blocked variant; the pointwise bias +
     ReLU makes padding non-zero after one layer, while "SAME" semantics
-    pad with zeros at each layer)."""
+    pad with zeros at each layer). mxu=True routes the whole separable
+    conv through the MXU (see _sepconv_mxu)."""
     for li in range(n_hidden + 1):
         if in_grid is not None:
             x = jnp.where(in_grid, x, 0).astype(x.dtype)
         dw = wrefs[3 * li][:]
         pw = wrefs[3 * li + 1][:]
         b = wrefs[3 * li + 2][:]
-        acc = _dw3x3(x, dw)        # [H, W, C] f32
-        h, w, c = acc.shape
-        y = jax.lax.dot_general(
-            acc.reshape(h * w, c), pw.astype(jnp.float32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        h, w, c = x.shape
+        if mxu:
+            y = _sepconv_mxu(x, dw, pw)
+        else:
+            acc = _dw3x3(x, dw)        # [H, W, C] f32
+            y = jax.lax.dot_general(
+                acc.reshape(h * w, c), pw.astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         y = y + b.astype(jnp.float32)[None, :]
         if li < n_hidden:
             y = jnp.maximum(y, 0.0)
@@ -97,7 +134,7 @@ def _flatten_weights(layers, dtype):
     return ops, specs
 
 
-def _stack_kernel(n_hidden, out_dtype, w_static, valid_ref, x_ref, *refs):
+def _stack_kernel(n_hidden, out_dtype, w_static, mxu, valid_ref, x_ref, *refs):
     """refs: (dw, pw, b) per layer (hidden... then out), then out_ref.
     valid_ref (SMEM [2]): the [lo, hi) valid W-column range; columns
     outside it are re-zeroed before every layer and after the last
@@ -109,7 +146,7 @@ def _stack_kernel(n_hidden, out_dtype, w_static, valid_ref, x_ref, *refs):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, w_static, 1), 1)
         in_grid = (col >= valid_ref[0]) & (col < valid_ref[1])
     out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype,
-                            in_grid=in_grid)
+                            in_grid=in_grid, mxu=mxu)
 
 
 def _valid_range(sc_valid, w):
@@ -125,7 +162,15 @@ def _valid_range(sc_valid, w):
     return sc_valid, True
 
 
-def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None):
+def _mxu_default(mxu):
+    """None -> env opt-in NRX_CONV_MXU=1 (chip A/B knob)."""
+    if mxu is None:
+        return os.environ.get("NRX_CONV_MXU", "0") == "1"
+    return bool(mxu)
+
+
+def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None,
+                     mxu: bool | None = None):
     """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
     hidden layer, linear output layer. x: [N, H, W, C_in].
 
@@ -147,13 +192,16 @@ def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None):
     per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
     if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
         return fused_conv_stack_blocked(p, x, interpret=interpret,
-                                        sc_valid=vr)
-    return _fused_conv_stack_whole(p, x, vr, masked, interpret=interpret)
+                                        sc_valid=vr, mxu=mxu)
+    return _fused_conv_stack_whole(p, x, vr, masked, interpret=interpret,
+                                   mxu=_mxu_default(mxu))
 
 
-@functools.partial(jax.jit, static_argnames=("masked", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("masked", "interpret", "mxu"))
 def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
-                            interpret: bool | None = None):
+                            interpret: bool | None = None,
+                            mxu: bool = False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]
@@ -163,7 +211,7 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
 
     ops, specs = _flatten_weights(layers, dtype)
     kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype,
-                               w if masked else None)
+                               w if masked else None, mxu)
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -202,7 +250,7 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
 # ---------------------------------------------------------------------------
 
 
-def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, valid_ref,
+def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, mxu, valid_ref,
                           left_ref, mid_ref, right_ref, *refs):
     """Grid (batch, W-block). left/mid/right: [1, H, w_blk, C] fetches
     of consecutive W blocks (the extended array is offset one full block,
@@ -223,20 +271,22 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, valid_ref,
     col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
            + wb * w_blk - halo)
     x = _run_stack(xw, wrefs, n_hidden, out_dtype,
-                   in_grid=(col >= lo) & (col < hi))
+                   in_grid=(col >= lo) & (col < hi), mxu=mxu)
     out_ref[0] = x[:, halo:halo + w_blk, :]
 
 
-@functools.partial(jax.jit, static_argnames=("w_blk", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("w_blk", "interpret", "mxu"))
 def fused_conv_stack_blocked(p, x, w_blk: int = 256,
                              interpret: bool | None = None,
-                             sc_valid=None):
+                             sc_valid=None, mxu: bool | None = None):
     """W-blocked `fused_conv_stack` for wide grids. x: [N, H, W, C_in];
     W is padded up to a multiple of w_blk internally (zero columns, then
     cropped), so any subcarrier count works. sc_valid: see
     fused_conv_stack (defaults to the full width)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    mxu = _mxu_default(mxu)
     layers = list(p["hidden"]) + [p["out"]]
     # conv halo = one column per layer, rounded up to a sublane multiple
     # (8) so the neighbor-fetch slices below are Mosaic-legal
@@ -260,7 +310,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 256,
         (1, h, w_blk, c_in), lambda i, wb, _o=off: (i, 0, wb + _o, 0),
         memory_space=pltpu.VMEM)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
-                               halo, w_blk, dtype)
+                               halo, w_blk, dtype, mxu)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_wb),

@@ -107,7 +107,7 @@ def _apply_conv(p, x):
 
 
 def _apply_conv_stack(p, x, layer_type, fused: bool = False,
-                      sc_valid=None):
+                      sc_valid=None, mxu: bool | None = None):
     """sc_valid (optional int32 scalar): re-zero subcarrier columns >=
     sc_valid after EVERY conv layer. Needed for exact pad-to-bucket
     dispatch: conv biases otherwise make pad-region activations nonzero,
@@ -117,7 +117,7 @@ def _apply_conv_stack(p, x, layer_type, fused: bool = False,
     if fused and layer_type == "sepconv":
         # single pallas kernel, activations stay in VMEM (kernels/)
         from ..kernels.sepconv_pallas import fused_conv_stack
-        return fused_conv_stack(p, x, sc_valid=sc_valid)
+        return fused_conv_stack(p, x, sc_valid=sc_valid, mxu=mxu)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
 
     sc_mask = None
@@ -162,6 +162,9 @@ class CGNNConfig:
     # (aggregation MLP + user sum + concat + update stack in VMEM;
     # serving path only — requires sepconv layers and 1 hidden agg unit)
     fused_iter_wblk: int = 128  # W-block of the fused-iteration kernel
+    conv_mxu: bool | None = None  # route separable convs through the
+    # MXU (folded-tap matmuls, kernels/sepconv_pallas._sepconv_mxu);
+    # None defers to the NRX_CONV_MXU env knob
 
     @property
     def num_mcs(self):
@@ -303,7 +306,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
 
     def run_init(p):
         s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,
-                              cfg.fused_convs, sc_valid)
+                              cfg.fused_convs, sc_valid,
+                              mxu=cfg.conv_mxu)
         return s.reshape((b, t) + s.shape[1:])
 
     if cfg.var_mcs_masking:
@@ -327,7 +331,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
             # has no custom VJP, so training always takes the XLA path
             from ..kernels.cgnn_iter_pallas import fused_iteration
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
-                                w_blk=cfg.fused_iter_wblk)
+                                w_blk=cfg.fused_iter_wblk,
+                                mxu=cfg.conv_mxu)
         else:
             a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
             if sc_mask is not None:

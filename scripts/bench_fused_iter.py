@@ -59,6 +59,10 @@ def main():
         variants.append((f"fiter_w{w}", {"fused_convs": True,
                                          "fused_iteration": True,
                                          "fused_iter_wblk": w}))
+        variants.append((f"fiter_mxu_w{w}", {"fused_convs": True,
+                                             "fused_iteration": True,
+                                             "fused_iter_wblk": w,
+                                             "conv_mxu": True}))
 
     def make_fn(cfg, batch):
         def fn(y_planar):

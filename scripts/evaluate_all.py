@@ -123,9 +123,17 @@ def main():
                     else:
                         wpath = args.weights or os.path.join(
                             args.weights_dir, f"{p.label}_weights.pkl")
-                        if args.untrained or not os.path.exists(wpath):
+                        if args.untrained:
                             params = model.init_params(
                                 jax.random.PRNGKey(0))
+                        elif not os.path.exists(wpath):
+                            # NEVER silently evaluate a random init: a
+                            # missing weights file once appended a
+                            # BLER=1.0 curve to a committed results
+                            # pickle (round-2 e2e_rt incident)
+                            raise SystemExit(
+                                f"no weights at {wpath}; pass --weights/"
+                                f"--ref-weights or explicit --untrained")
                         else:
                             params = load_weights(wpath)
                     num_it = p.num_nrx_iter_eval

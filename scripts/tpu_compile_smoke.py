@@ -97,6 +97,20 @@ def main():
                                         sc_valid=jnp.int32(1200),
                                         w_blk=128, interpret=False))
 
+    # MXU-conv variants (folded-tap separable conv, NRX_CONV_MXU knob)
+    for w_blk in (128, 256):
+        ok &= check(f"fused_iteration MXU w_blk={w_blk}",
+                    lambda w=w_blk: fused_iteration(
+                        it_p, s, pe, act, w_blk=w, interpret=False,
+                        mxu=True))
+    ok &= check("fused_conv_stack whole MXU",
+                lambda: fused_conv_stack(p_init, x18, interpret=False,
+                                         mxu=True))
+    ok &= check("fused blocked MXU w_blk=256",
+                lambda: fused_conv_stack_blocked(p_upd, x130, w_blk=256,
+                                                 interpret=False,
+                                                 mxu=True))
+
     # tiled layered LDPC, tile=1 (round-1 baseline) and tile=8
     code = LDPCCode(bg=1, z=384)
     llr = jnp.asarray(rng.normal(size=(30, code.num_cols * 384)),
@@ -114,6 +128,15 @@ def main():
     dec352 = make_decoder(code352, num_iter=2, interpret=False)
     ok &= check("ldpc layered BG1/Z=352 (two-rotate shift)",
                 lambda: dec352(llr352))
+
+    # auto-tiled decode at the 64qam eval batch (the round-2 eval OOM'd
+    # scoped VMEM with a hand-set tile: f32[32,68,384] stack alloc;
+    # auto_tile must pick a tile that fits the 12 MB budget)
+    dec_auto = make_decoder(code, num_iter=20, interpret=False)
+    llr_b32 = jnp.asarray(rng.normal(size=(32, code.num_cols * 384)),
+                          jnp.float32)
+    ok &= check("ldpc layered auto-tile batch=32 BG1/Z=384 20it",
+                lambda: dec_auto(llr_b32))
 
     print("SMOKE", "PASS" if ok else "FAIL", flush=True)
     sys.exit(0 if ok else 1)

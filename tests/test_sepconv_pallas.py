@@ -174,3 +174,26 @@ def test_sharded_fused_matches_unsharded(n_grid):
         out_specs=P(None, None, "grid", None), check_rep=False)
     got = np.asarray(jax.jit(fn)(p, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mxu_path_matches_xla_stack():
+    """mxu=True (all MACs on the MXU, folded tap weights) == XLA oracle."""
+    key = jax.random.PRNGKey(0)
+    p = _init_conv_stack(key, 114, [128, 128], 56, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 14, 48, 114),
+                          jnp.float32)
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack(p, x, interpret=True, mxu=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mxu_path_matches_blocked():
+    from neural_rx_tpu.kernels.sepconv_pallas import fused_conv_stack_blocked
+    key = jax.random.PRNGKey(3)
+    p = _init_conv_stack(key, 24, [32], 16, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 14, 96, 24),
+                          jnp.float32)
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack_blocked(p, x, w_blk=32,
+                                              interpret=True, mxu=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
