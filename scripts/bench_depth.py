@@ -29,9 +29,17 @@ def main():
     ap.add_argument("--depths", type=int, nargs="*",
                     default=[1, 2, 3, 4, 5, 6, 7, 8])
     ap.add_argument("--reps", type=int, default=50)
+    ap.add_argument("--variant", default="fiter",
+                    choices=["xla", "fconv", "fiter", "fiter_mxu"],
+                    help="serving path: fused whole-iteration kernel "
+                         "(default; round-2 sweeps mistakenly ran the "
+                         "raw XLA path and lost to the reference at "
+                         "depth), optionally with MXU folded-tap convs")
+    ap.add_argument("--wblk", type=int, default=128)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
+    import dataclasses
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -51,6 +59,14 @@ def main():
         var_mcs_masking=p.mcs_var_mcs_masking,
         initial_chest="ls", mask_pilots=False, nrx_dtype=jnp.bfloat16)
     params = rx.init_params(jax.random.PRNGKey(0))
+    over = {"xla": {},
+            "fconv": {"fused_convs": True},
+            "fiter": {"fused_convs": True, "fused_iteration": True,
+                      "fused_iter_wblk": args.wblk},
+            "fiter_mxu": {"fused_convs": True, "fused_iteration": True,
+                          "fused_iter_wblk": args.wblk,
+                          "conv_mxu": True}}[args.variant]
+    cfg = dataclasses.replace(rx.cgnn_cfg, **over)
     rg = p.transmitters[0].resource_grid
     sc = rg.num_subcarriers
     y_example = jnp.asarray(
@@ -65,7 +81,7 @@ def main():
         def fn(params, y_planar, depth=depth):
             y = y_planar[..., 0] + 1j * y_planar[..., 1]
             y_in, h_in = rx._prepare_inputs(y)
-            llrs, _ = cgnn_apply(params["cgnn"], rx.cgnn_cfg, y_in,
+            llrs, _ = cgnn_apply(params["cgnn"], cfg, y_in,
                                  jnp.asarray(rx.pe), h_in,
                                  jnp.ones((1, rx.max_num_tx)),
                                  jnp.ones((1, rx.max_num_tx, 1)),
@@ -87,7 +103,8 @@ def main():
         print(f"depth {depth}: p50 {p50:.3f} ms (compile {compile_s:.0f}s)"
               + (f" | reference {ref} ms ({ref / p50:.1f}x)" if ref
                  else ""), flush=True)
-    print(json.dumps({"latency_ms_by_depth": results}))
+    print(json.dumps({"variant": args.variant,
+                      "latency_ms_by_depth": results}))
 
 
 if __name__ == "__main__":
