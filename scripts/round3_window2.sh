@@ -30,37 +30,37 @@ REFW=/root/reference/weights
 
 # 1) depth-sweep latency on the FUSED serving path (reference A100
 #    medians 0.61..3.11 ms for depth 1..8)
-run 1800 python scripts/bench_depth.py --variant fiter --depths 1 2 3 4 5 6 7 8
+run 1500 python scripts/bench_depth.py --variant fiter --depths 1 2 3 4 5 6 7 8
 
 # 2) nrx_large 2-UE + 1-UE curves (1 UE on TDL-B100 like the reference
 #    1-UE slices)
-run 1500 python scripts/evaluate_all.py --config nrx_large --num-tx 2 \
+run 1100 python scripts/evaluate_all.py --config nrx_large --num-tx 2 \
     --systems nrx --fast-ldpc --max-iter 400 --target-block-errors 200 \
-    --target-bler 5e-4 --ref-weights $REFW/nrx_large_weights --budget-s 1300
-run 1500 python scripts/evaluate_all.py --config nrx_large --num-tx 1 \
+    --target-bler 5e-4 --ref-weights $REFW/nrx_large_weights --budget-s 900
+run 1000 python scripts/evaluate_all.py --config nrx_large --num-tx 1 \
     --channel TDL-B100 --systems nrx --fast-ldpc --max-iter 400 \
     --target-block-errors 200 --target-bler 5e-4 \
-    --ref-weights $REFW/nrx_large_weights --budget-s 1300
+    --ref-weights $REFW/nrx_large_weights --budget-s 800
 
 # 3) nrx_large depth-sweep BLER pickle (8 keys, sweep format)
-run 3000 python scripts/eval_sweep.py --config nrx_large --num-tx 2 \
+run 2400 python scripts/eval_sweep.py --config nrx_large --num-tx 2 \
     --ref-weights $REFW/nrx_large_weights --max-iter 300 \
-    --target-errors 200 --target-bler 5e-4 --budget-s 2700
+    --target-errors 200 --target-bler 5e-4 --budget-s 2200
 
 # 4) nrx_large_qpsk curves
-run 1200 python scripts/evaluate_all.py --config nrx_large_qpsk --num-tx 2 \
+run 900 python scripts/evaluate_all.py --config nrx_large_qpsk --num-tx 2 \
     --systems nrx --fast-ldpc --max-iter 400 --target-block-errors 200 \
     --target-bler 5e-4 --ref-weights $REFW/nrx_large_qpsk_weights \
-    --budget-s 1000
-run 1200 python scripts/evaluate_all.py --config nrx_large_qpsk --num-tx 1 \
+    --budget-s 700
+run 900 python scripts/evaluate_all.py --config nrx_large_qpsk --num-tx 1 \
     --channel TDL-B100 --systems nrx --fast-ldpc --max-iter 400 \
     --target-block-errors 200 --target-bler 5e-4 \
-    --ref-weights $REFW/nrx_large_qpsk_weights --budget-s 1000
+    --ref-weights $REFW/nrx_large_qpsk_weights --budget-s 700
 
 echo "=== window2 evals done; relaunching training $(date -u '+%F %H:%M:%S')" >> "$LOG"
 sleep 30
-PYTHONUNBUFFERED=1 nohup timeout 6400 python scripts/train_long.py \
-    --config nrx_rt --seconds 6200 > logs/nrx_rt_seg_r3e.log 2>&1 &
+PYTHONUNBUFFERED=1 nohup timeout 4400 python scripts/train_long.py \
+    --config nrx_rt --seconds 4200 > logs/nrx_rt_seg_r3e.log 2>&1 &
 echo $! > run/train.pid
 nohup bash scripts/watchdog_pid.sh run/train.pid nrx_rt 420 \
     > /dev/null 2>&1 &
