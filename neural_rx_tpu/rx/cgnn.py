@@ -28,11 +28,16 @@ update) + 7,812 LLR readout + 8,328 chest readout).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# MXU-folded separable-conv lowering for the XLA (training/eval) path;
+# per-process, numerically equivalent either way (see _apply_sepconv)
+_SEPCONV_FOLDED = os.environ.get("NRX_SEPCONV_FOLDED", "0") == "1"
 
 
 # ---------------------------------------------------------------------------
@@ -89,14 +94,31 @@ def _init_mlp(key, d_in, hidden: Sequence[int], d_out):
 # ---------------------------------------------------------------------------
 
 def _apply_sepconv(p, x):
-    """x: [N, H, W, C] -> [N, H, W, C_out]; depthwise 3x3 + pointwise."""
+    """x: [N, H, W, C] -> [N, H, W, C_out]; depthwise 3x3 + pointwise.
+
+    Two mathematically identical lowerings (fp reorder only):
+    - grouped: depthwise conv (feature_group_count=C) then pointwise
+      matmul. XLA lowers the grouped conv to the VPU on TPU.
+    - folded (NRX_SEPCONV_FOLDED=1): one FULL 3x3 conv whose kernel is
+      dw_tap[:, None] * pw — 9x the pointwise FLOPs but MXU-eligible,
+      and autodiff reaches dw/pw through the fold for free. Wins when
+      the VPU stencil, not the MXU, is the bottleneck (A/B:
+      scripts/bench_train_step.py).
+    """
     c_in = x.shape[-1]
     dw = p["dw"].astype(x.dtype)
+    pw = p["pw"].astype(x.dtype)
+    if _SEPCONV_FOLDED:
+        k = dw[:, :, 0, :, None] * pw[None, None]  # [3, 3, C, O]
+        y = jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + p["b"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, dw, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c_in)
-    return y @ p["pw"].astype(x.dtype) + p["b"].astype(x.dtype)
+    return y @ pw + p["b"].astype(x.dtype)
 
 
 def _apply_conv(p, x):
