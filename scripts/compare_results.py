@@ -25,9 +25,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def _load(path):
+    """Load any of the three committed pickle layouts:
+    - standard: [ebno, BERs, BLERs]
+    - depth sweep: [ebno, BERs, BLERs, GPs] (GPs dropped here)
+    - mixed-MCS: [ebno, BLERs_same, BLERs_mixed], 2-tuple keys —
+      re-keyed ('same'/'mixed' + key) into one BLER dict."""
     with open(path, "rb") as f:
-        ebno, bers, blers = pickle.load(f)
-    return np.asarray(ebno), bers, blers
+        d = pickle.load(f)
+    ebno = np.asarray(d[0])
+    if len(d) >= 3 and isinstance(d[1], dict) and isinstance(d[2], dict):
+        k1 = next(iter(d[1]), None)
+        k2 = next(iter(d[2]), None)
+        if (k1 is not None and len(k1) == 2) or \
+                (k2 is not None and len(k2) == 2):
+            blers = {}
+            for scen, dd in (("same", d[1]), ("mixed", d[2])):
+                for k, v in dd.items():
+                    blers[(f"{k[0]} [{scen}]", 0, k[1])] = v
+            return ebno, {}, blers
+    return ebno, d[1], d[2]
 
 
 def snr_at_bler(ebno, bler, target):
@@ -99,14 +115,15 @@ def main():
             n_r = min(len(e_r), len(bl_r[k]))
             eo, blo = e_o[:n_o], np.asarray(bl_o[k][:n_o])
             er, blr = e_r[:n_r], np.asarray(bl_r[k][:n_r])
+            ktail = "/".join(str(x) for x in k[1:])
             ax.semilogy(eo, blo, "-o", color=c, ms=3,
-                        label=f"{k[0]} tx{k[1]} mcs{k[2]} (ours)")
+                        label=f"{k[0]} {ktail} (ours)")
             ax.semilogy(er, blr, "--s", color=c, ms=3, alpha=0.6,
                         label="(reference)")
             for tgt in (1e-1, 1e-2):
                 s_o = snr_at_bler(eo, blo, tgt)
                 s_r = snr_at_bler(er, blr, tgt)
-                rows.append((label, k[0], k[1], k[2], tgt, s_o, s_r,
+                rows.append((label, k[0], ktail, tgt, s_o, s_r,
                              s_o - s_r))
         ax.set_xlabel("Eb/No [dB]")
         ax.set_ylabel("TBLER")
@@ -122,11 +139,11 @@ def main():
 
     md = os.path.join(args.out, "summary.md")
     with open(md, "w") as f:
-        f.write("| label | system | tx | mcs | BLER | ours dB | ref dB "
-                "| delta dB |\n|---|---|---|---|---|---|---|---|\n")
+        f.write("| label | system | key | BLER | ours dB | ref dB "
+                "| delta dB |\n|---|---|---|---|---|---|---|\n")
         for r in rows:
-            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]:.0e} "
-                    f"| {r[5]:.2f} | {r[6]:.2f} | {r[7]:+.2f} |\n")
+            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]:.0e} "
+                    f"| {r[4]:.2f} | {r[5]:.2f} | {r[6]:+.2f} |\n")
     print(f"summary -> {md} ({len(rows)} rows)")
 
 
