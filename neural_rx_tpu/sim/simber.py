@@ -54,7 +54,8 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             target_bler: float | None = None,
             mcs_arr_eval_idx: int = 0, num_it: int | None = None,
             seed: int = 0, verbose: bool = True, mesh=None,
-            fast_ldpc: bool = False, return_counts: bool = False):
+            fast_ldpc: bool = False, return_counts: bool = False,
+            point_callback=None):
     """Monte-Carlo sweep. Returns (ber, bler) arrays over ebno_dbs;
     with return_counts=True additionally (block_errors, num_blocks)
     integer arrays so callers can attach binomial confidence intervals
@@ -63,6 +64,10 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
     Early stop per SNR point once `num_target_block_errors` block errors
     are collected; the whole sweep stops early once the measured BLER
     drops below `target_bler` (reference evaluate.py early-stop args).
+
+    point_callback(ebno_db, ber, bler), if given, fires after every
+    completed SNR point — callers persist partial sweeps so a timeout
+    kill cannot lose finished points.
 
     mesh: optional ("data","grid") jax mesh — the Monte-Carlo batch axis
     shards over "data" (the reference's sim_ber distribute="all" role,
@@ -137,6 +142,8 @@ def sim_ber(model, params, ebno_dbs, batch_size: int,
             print(f"Eb/No {ebno:5.1f} dB | BER {bers[i]:.4e} | "
                   f"BLER {blers[i]:.4e} | blocks {nbl} | "
                   f"{time.time()-t0:.1f}s", flush=True)
+        if point_callback is not None:
+            point_callback(float(ebno), float(bers[i]), float(blers[i]))
         if target_bler is not None and blers[i] < target_bler:
             break
     if return_counts:
@@ -196,7 +203,20 @@ def save_results(path: str, label: str, system_name: str, num_tx: int,
         ber_d = {k: remap(v, ebno_arr) for k, v in ber_d.items()}
         bler_d = {k: remap(v, ebno_arr) for k, v in bler_d.items()}
     keyname = (system_name, num_tx, mcs_idx)
-    ber_d[keyname] = remap(bers, new_e)
-    bler_d[keyname] = remap(blers, new_e)
+
+    def merge(d, curve):
+        """New measurements win where measured; previously stored
+        points survive elsewhere (per-point incremental saves append
+        one SNR point at a time)."""
+        new = remap(curve, new_e)
+        old = d.get(keyname)
+        if old is not None:
+            old = np.asarray(old, np.float64)
+            d[keyname] = np.where(np.isnan(new), old, new)
+        else:
+            d[keyname] = new
+
+    merge(ber_d, bers)
+    merge(bler_d, blers)
     with open(path, "wb") as f:
         pickle.dump((union, ber_d, bler_d), f)

@@ -144,14 +144,19 @@ def main():
                     num_it = None
                     batch = (p.batch_size_eval_small
                              if "kbest" in system else p.batch_size_eval)
+                def save_point(e, b, bl, _tx=num_tx, _m=mcs_idx,
+                               _sys=system):
+                    save_results(res_path, p.label, SYSTEM_LABELS[_sys],
+                                 _tx, _m, np.asarray([e]),
+                                 np.asarray([b]), np.asarray([bl]))
+
                 ber, bler = sim_ber(
                     model, params, ebno_dbs, batch_size=batch,
                     max_mc_iter=args.max_iter,
                     num_target_block_errors=args.target_block_errors,
                     target_bler=args.target_bler, mcs_arr_eval_idx=mcs_idx,
-                    num_it=num_it, fast_ldpc=args.fast_ldpc)
-                save_results(res_path, p.label, SYSTEM_LABELS[system],
-                             num_tx, mcs_idx, ebno_dbs, ber, bler)
+                    num_it=num_it, fast_ldpc=args.fast_ldpc,
+                    point_callback=save_point)
                 print(f"appended to {res_path}", flush=True)
 
 
