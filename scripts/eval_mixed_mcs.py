@@ -78,9 +78,15 @@ def main():
             for system in args.systems:
                 name = ("Neural Receiver" if system == "nrx"
                         else "Baseline - LS/lin+LMMSE")
-                if (name, mcs_idx) in store:
-                    print(f"skip {scen} {name} mcs{mcs_idx} (stored)")
-                    continue
+                cur = store.get((name, mcs_idx))
+                if cur is not None:
+                    cur = np.asarray(cur, np.float64)
+                    meas = np.isfinite(cur)
+                    if meas.all() or (meas.any() and
+                                      np.nanmin(cur) <= args.target_bler):
+                        print(f"skip {scen} {name} mcs{mcs_idx} "
+                              f"(stored)", flush=True)
+                        continue
                 if args.budget_s and time.time() - t0 > args.budget_s:
                     print("budget exhausted", flush=True)
                     return
@@ -107,15 +113,21 @@ def main():
                 batch = args.batch or p.batch_size_eval
                 print(f"=== {scen} | {name} | mcs_idx={mcs_idx} | "
                       f"order={order}", flush=True)
-                ber, bler = sim_ber(
+
+                def save_point(e, b, bl, _store=store, _k=(name, mcs_idx)):
+                    cur = np.asarray(_store.get(
+                        _k, np.full(len(ebno), np.nan)), np.float64)
+                    cur[int(np.argmin(np.abs(ebno - e)))] = bl
+                    _store[_k] = cur
+                    with open(args.out, "wb") as f:
+                        pickle.dump([ebno, same, mixed], f)
+
+                sim_ber(
                     model, params, ebno, batch_size=batch,
                     max_mc_iter=args.max_iter,
                     num_target_block_errors=args.target_errors,
                     target_bler=args.target_bler, num_it=num_it,
-                    fast_ldpc=True)
-                store[(name, mcs_idx)] = np.asarray(bler)
-                with open(args.out, "wb") as f:
-                    pickle.dump([ebno, same, mixed], f)
+                    fast_ldpc=True, point_callback=save_point)
                 print(f"saved {args.out}", flush=True)
 
 

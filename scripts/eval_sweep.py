@@ -100,19 +100,36 @@ def main():
         tb = model.transmitters[mcs_idx]
         for it in depths:
             key = ("Neural Receiver", args.num_tx, mcs_idx, it)
-            if key in stored:
-                print(f"skip {key} (stored)", flush=True)
-                continue
+            cur = stored.get(key)
+            if cur is not None:
+                cur = np.asarray(cur, np.float64)
+                meas = np.isfinite(cur)
+                # complete = every point measured, or the early-stop
+                # threshold was reached (partial curves from a killed
+                # run re-measure)
+                if meas.all() or (meas.any()
+                                  and np.nanmin(cur) <= args.target_bler):
+                    print(f"skip {key} (stored)", flush=True)
+                    continue
             if args.budget_s and time.time() - t0 > args.budget_s:
                 print("budget exhausted", flush=True)
                 return
             print(f"=== num_it={it} mcs_idx={mcs_idx}", flush=True)
+            part_b = np.full(len(ebno), np.nan)
+            part_bl = np.full(len(ebno), np.nan)
+
+            def save_point(e, b, bl, _key=key):
+                i = int(np.argmin(np.abs(ebno - e)))
+                part_b[i], part_bl[i] = b, bl
+                save_sweep(out, _key[0], _key[1], _key[2], _key[3],
+                           ebno, part_b, part_bl, np.nan)
+
             ber, bler = sim_ber(
                 model, params, ebno, batch_size=p.batch_size_eval,
                 max_mc_iter=args.max_iter,
                 num_target_block_errors=args.target_errors,
                 target_bler=args.target_bler, mcs_arr_eval_idx=mcs_idx,
-                num_it=it, fast_ldpc=True)
+                num_it=it, fast_ldpc=True, point_callback=save_point)
             rg = tb.resource_grid
             gp = calculate_goodput(
                 np.asarray(bler)[-1:], tb.tb_size,
