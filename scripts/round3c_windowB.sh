@@ -35,8 +35,9 @@ run 1200 python scripts/bench_fused_iter.py --wblk 64 96 --b16
 # 1b) w128 MXU with a raised scoped-vmem budget
 run 900 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=25600 \
     python scripts/bench_fused_iter.py --wblk 128 --b16
-# 2) op-level trace of the deployed inference step
-run 600 python scripts/capture_trace.py --what infer --config nrx_rt
+# 2) op-level traces: deployed inference step AND the training chunk
+#    (training is at 66 it/s vs a ~400 it/s flops bound - find the hog)
+run 900 python scripts/capture_trace.py --what train infer --config nrx_rt
 
 # 3) mixed-MCS matrix (imported var_mcs weights + lslin baseline)
 run 2700 python scripts/eval_mixed_mcs.py \
