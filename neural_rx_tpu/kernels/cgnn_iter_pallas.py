@@ -39,11 +39,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
-                             _mxu_default)
+                             _mxu_default, _lp_default)
 
 
 def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
-                 valid_ref, act_ref, *refs):
+                 lp_stencil, valid_ref, act_ref, *refs):
     """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
     per user t: (left, mid, right) pe blocks (pe is per-user — each
     user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
@@ -110,7 +110,7 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
         pe_ext_t = halo_cat(*pe_blocks[3 * t:3 * t + 3])  # [H, w_ext, 2]
         z = jnp.concatenate([a_t, s_exts[t], pe_ext_t], axis=-1)
         u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
-                       mxu=mxu)
+                       mxu=mxu, lp_stencil=lp_stencil)
         out_refs[t][0] = (u[:, halo:halo + w_blk, :]
                           + s_blocks[3 * t + 1][0])
 
@@ -131,11 +131,11 @@ def _flatten_dense(p, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("num_tx", "w_blk", "interpret",
-                                    "mxu"))
+                                    "mxu", "lp_stencil"))
 def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                           num_tx: int, w_blk: int,
                           interpret: bool | None = None,
-                          mxu: bool = False):
+                          mxu: bool = False, lp_stencil: bool = False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
@@ -196,7 +196,7 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
     kernel = functools.partial(_iter_kernel, num_tx,
                                len(upd_p["hidden"]), halo, w_blk, dtype,
-                               mxu)
+                               mxu, lp_stencil)
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_wb),
@@ -212,7 +212,8 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
                     w_blk: int | None = None,
                     interpret: bool | None = None,
-                    mxu: bool | None = None):
+                    mxu: bool | None = None,
+                    lp_stencil: bool | None = None):
     """One fused CGNN iteration: drop-in for
     `_update_state(upd, s, _aggregate_user_states(agg, s, ...), pe, ...)`
     (rx/cgnn.cgnn_apply iteration body).
@@ -227,4 +228,5 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     return _fused_iteration_impl(it_params["agg"], it_params["update"],
                                  s, pe, active_tx, vr, num_tx=t,
                                  w_blk=w_blk, interpret=interpret,
-                                 mxu=_mxu_default(mxu))
+                                 mxu=_mxu_default(mxu),
+                                 lp_stencil=_lp_default(lp_stencil))

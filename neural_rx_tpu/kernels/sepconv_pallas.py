@@ -33,27 +33,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dw3x3(x, dw):
+def _dw3x3(x, dw, lp_stencil=False):
     """Depthwise 3x3 SAME cross-correlation. x: [H, W, C]; dw: [3,3,C].
-    Returns f32 [H, W, C].
+    Returns f32 [H, W, C] (or x.dtype when lp_stencil).
 
     Implemented as 9 static slices of a zero-padded copy (NOT jnp.roll:
     roll lowers to a concatenate that includes a zero-width slice when a
     shift is 0, and Mosaic rejects zero-sized vectors — this failed to
-    compile on real TPU while passing in interpret mode)."""
+    compile on real TPU while passing in interpret mode).
+
+    lp_stencil=True accumulates the 9 taps in the activation dtype
+    (packed bf16 VPU ops on TPU, half the vector-register traffic) —
+    an opt-in speed/precision experiment for serving."""
     h, w, c = x.shape
+    acc_dtype = x.dtype if lp_stencil else jnp.float32
     zc = jnp.zeros((h, 1, c), x.dtype)
     xp = jnp.concatenate([zc, x, zc], axis=1)
     zr = jnp.zeros((1, w + 2, c), x.dtype)
     xp = jnp.concatenate([zr, xp, zr], axis=0)
-    acc = jnp.zeros(x.shape, jnp.float32)
+    acc = jnp.zeros(x.shape, acc_dtype)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             # y[i,j] += x[i+dy, j+dx] * k[dy+1, dx+1]  (zero outside)
             shifted = jax.lax.slice(
                 xp, (1 + dy, 1 + dx, 0), (1 + dy + h, 1 + dx + w, c))
-            kvec = dw[dy + 1, dx + 1].astype(jnp.float32)
-            acc = acc + shifted.astype(jnp.float32) * kvec[None, None, :]
+            kvec = dw[dy + 1, dx + 1].astype(acc_dtype)
+            acc = acc + shifted.astype(acc_dtype) * kvec[None, None, :]
     return acc
 
 
@@ -89,7 +94,8 @@ def _sepconv_mxu(x, dw, pw):
     return acc
 
 
-def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False):
+def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False,
+               lp_stencil=False):
     """Shared layer loop: depthwise (VPU) -> pointwise (MXU) -> bias,
     ReLU on hidden layers. wrefs: (dw [3,3,C], pw [C,O], b [O]) per
     layer. in_grid ([1, W, 1] bool or None): out-of-grid columns to
@@ -107,9 +113,17 @@ def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False):
         if mxu:
             y = _sepconv_mxu(x, dw, pw)
         else:
-            acc = _dw3x3(x, dw)        # [H, W, C] f32
+            acc = _dw3x3(x, dw, lp_stencil)  # [H, W, C] f32 (or lp)
+            # Round the depthwise accumulator back to the activation
+            # dtype for the pointwise matmul: with bf16 activations a
+            # f32xf32 dot here runs the MXU in its (several-fold
+            # slower) f32 passes, while the XLA conv path it replaces
+            # is a bf16 MXU op with f32 accumulation — identical
+            # rounding class, so match it (measured round 3: the f32
+            # dots were the largest single cost of the fused path).
             y = jax.lax.dot_general(
-                acc.reshape(h * w, c), pw.astype(jnp.float32),
+                acc.reshape(h * w, c).astype(x.dtype),
+                pw.astype(x.dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         y = y + b.astype(jnp.float32)[None, :]
@@ -134,7 +148,8 @@ def _flatten_weights(layers, dtype):
     return ops, specs
 
 
-def _stack_kernel(n_hidden, out_dtype, w_static, mxu, valid_ref, x_ref, *refs):
+def _stack_kernel(n_hidden, out_dtype, w_static, mxu, lp_stencil,
+                  valid_ref, x_ref, *refs):
     """refs: (dw, pw, b) per layer (hidden... then out), then out_ref.
     valid_ref (SMEM [2]): the [lo, hi) valid W-column range; columns
     outside it are re-zeroed before every layer and after the last
@@ -146,7 +161,8 @@ def _stack_kernel(n_hidden, out_dtype, w_static, mxu, valid_ref, x_ref, *refs):
         col = jax.lax.broadcasted_iota(jnp.int32, (1, w_static, 1), 1)
         in_grid = (col >= valid_ref[0]) & (col < valid_ref[1])
     out_ref[0] = _run_stack(x_ref[0], refs[:-1], n_hidden, out_dtype,
-                            in_grid=in_grid, mxu=mxu)
+                            in_grid=in_grid, mxu=mxu,
+                            lp_stencil=lp_stencil)
 
 
 def _valid_range(sc_valid, w):
@@ -169,8 +185,16 @@ def _mxu_default(mxu):
     return bool(mxu)
 
 
+def _lp_default(lp_stencil):
+    """None -> env opt-in NRX_STENCIL_LP=1 (chip A/B knob)."""
+    if lp_stencil is None:
+        return os.environ.get("NRX_STENCIL_LP", "0") == "1"
+    return bool(lp_stencil)
+
+
 def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None,
-                     mxu: bool | None = None):
+                     mxu: bool | None = None,
+                     lp_stencil: bool | None = None):
     """Drop-in for `_apply_conv_stack(p, x, "sepconv")`: ReLU after each
     hidden layer, linear output layer. x: [N, H, W, C_in].
 
@@ -192,16 +216,19 @@ def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None,
     per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
     if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
         return fused_conv_stack_blocked(p, x, interpret=interpret,
-                                        sc_valid=vr, mxu=mxu)
+                                        sc_valid=vr, mxu=mxu,
+                                        lp_stencil=lp_stencil)
     return _fused_conv_stack_whole(p, x, vr, masked, interpret=interpret,
-                                   mxu=_mxu_default(mxu))
+                                   mxu=_mxu_default(mxu),
+                                   lp_stencil=_lp_default(lp_stencil))
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("masked", "interpret", "mxu"))
+                   static_argnames=("masked", "interpret", "mxu",
+                                    "lp_stencil"))
 def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
                             interpret: bool | None = None,
-                            mxu: bool = False):
+                            mxu: bool = False, lp_stencil: bool = False):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(p["hidden"]) + [p["out"]]
@@ -211,7 +238,7 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
 
     ops, specs = _flatten_weights(layers, dtype)
     kernel = functools.partial(_stack_kernel, len(p["hidden"]), dtype,
-                               w if masked else None, mxu)
+                               w if masked else None, mxu, lp_stencil)
     return pl.pallas_call(
         kernel,
         grid=(n,),
@@ -250,7 +277,8 @@ def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
 # ---------------------------------------------------------------------------
 
 
-def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, mxu, valid_ref,
+def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, mxu,
+                          lp_stencil, valid_ref,
                           left_ref, mid_ref, right_ref, *refs):
     """Grid (batch, W-block). left/mid/right: [1, H, w_blk, C] fetches
     of consecutive W blocks (the extended array is offset one full block,
@@ -271,15 +299,18 @@ def _stack_kernel_blocked(n_hidden, halo, w_blk, out_dtype, mxu, valid_ref,
     col = (jax.lax.broadcasted_iota(jnp.int32, (1, w_ext, 1), 1)
            + wb * w_blk - halo)
     x = _run_stack(xw, wrefs, n_hidden, out_dtype,
-                   in_grid=(col >= lo) & (col < hi), mxu=mxu)
+                   in_grid=(col >= lo) & (col < hi), mxu=mxu,
+                   lp_stencil=lp_stencil)
     out_ref[0] = x[:, halo:halo + w_blk, :]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("w_blk", "interpret", "mxu"))
+                   static_argnames=("w_blk", "interpret", "mxu",
+                                    "lp_stencil"))
 def fused_conv_stack_blocked(p, x, w_blk: int = 256,
                              interpret: bool | None = None,
-                             sc_valid=None, mxu: bool | None = None):
+                             sc_valid=None, mxu: bool | None = None,
+                             lp_stencil: bool | None = None):
     """W-blocked `fused_conv_stack` for wide grids. x: [N, H, W, C_in];
     W is padded up to a multiple of w_blk internally (zero columns, then
     cropped), so any subcarrier count works. sc_valid: see
@@ -287,6 +318,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 256,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     mxu = _mxu_default(mxu)
+    lp_stencil = _lp_default(lp_stencil)
     layers = list(p["hidden"]) + [p["out"]]
     # conv halo = one column per layer, rounded up to a sublane multiple
     # (8) so the neighbor-fetch slices below are Mosaic-legal
@@ -310,7 +342,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 256,
         (1, h, w_blk, c_in), lambda i, wb, _o=off: (i, 0, wb + _o, 0),
         memory_space=pltpu.VMEM)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
-                               halo, w_blk, dtype, mxu)
+                               halo, w_blk, dtype, mxu, lp_stencil)
     out = pl.pallas_call(
         kernel,
         grid=(n, n_wb),

@@ -129,7 +129,8 @@ def _apply_conv(p, x):
 
 
 def _apply_conv_stack(p, x, layer_type, fused: bool = False,
-                      sc_valid=None, mxu: bool | None = None):
+                      sc_valid=None, mxu: bool | None = None,
+                      lp_stencil: bool | None = None):
     """sc_valid (optional int32 scalar): re-zero subcarrier columns >=
     sc_valid after EVERY conv layer. Needed for exact pad-to-bucket
     dispatch: conv biases otherwise make pad-region activations nonzero,
@@ -139,7 +140,8 @@ def _apply_conv_stack(p, x, layer_type, fused: bool = False,
     if fused and layer_type == "sepconv":
         # single pallas kernel, activations stay in VMEM (kernels/)
         from ..kernels.sepconv_pallas import fused_conv_stack
-        return fused_conv_stack(p, x, sc_valid=sc_valid, mxu=mxu)
+        return fused_conv_stack(p, x, sc_valid=sc_valid, mxu=mxu,
+                                lp_stencil=lp_stencil)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
 
     sc_mask = None
@@ -187,6 +189,9 @@ class CGNNConfig:
     conv_mxu: bool | None = None  # route separable convs through the
     # MXU (folded-tap matmuls, kernels/sepconv_pallas._sepconv_mxu);
     # None defers to the NRX_CONV_MXU env knob
+    stencil_lp: bool | None = None  # accumulate the depthwise stencil
+    # in the activation dtype (packed bf16 VPU) instead of f32;
+    # None defers to the NRX_STENCIL_LP env knob (serving A/B)
 
     @property
     def num_mcs(self):
@@ -329,7 +334,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     def run_init(p):
         s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,
                               cfg.fused_convs, sc_valid,
-                              mxu=cfg.conv_mxu)
+                              mxu=cfg.conv_mxu,
+                              lp_stencil=cfg.stencil_lp)
         return s.reshape((b, t) + s.shape[1:])
 
     if cfg.var_mcs_masking:
@@ -354,7 +360,8 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
             from ..kernels.cgnn_iter_pallas import fused_iteration
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
                                 w_blk=cfg.fused_iter_wblk,
-                                mxu=cfg.conv_mxu)
+                                mxu=cfg.conv_mxu,
+                                lp_stencil=cfg.stencil_lp)
         else:
             a = _aggregate_user_states(it_p["agg"], s, active_tx, dtype)
             if sc_mask is not None:

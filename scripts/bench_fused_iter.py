@@ -63,6 +63,10 @@ def main():
                                              "fused_iteration": True,
                                              "fused_iter_wblk": w,
                                              "conv_mxu": True}))
+        variants.append((f"fiter_lp_w{w}", {"fused_convs": True,
+                                            "fused_iteration": True,
+                                            "fused_iter_wblk": w,
+                                            "stencil_lp": True}))
 
     def make_fn(cfg, batch):
         def fn(y_planar):

@@ -32,9 +32,10 @@ run() {
 
 # 1a) small-w_blk MXU variants (fit under the default 16M scoped vmem)
 run 1200 python scripts/bench_fused_iter.py --wblk 64 96 --b16
-# 1b) w128 MXU with a raised scoped-vmem budget
-run 900 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=25600 \
-    python scripts/bench_fused_iter.py --wblk 128 --b16
+# 1b) raised scoped-vmem budget: w128 MXU + w256 non-MXU (halo fraction
+#     halves at 256; the 16M default OOM'd both)
+run 1200 env XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=30720 \
+    python scripts/bench_fused_iter.py --wblk 128 256 --b16
 # 2) op-level traces: deployed inference step AND the training chunk
 #    (training is at 66 it/s vs a ~400 it/s flops bound - find the hog)
 run 900 python scripts/capture_trace.py --what train infer --config nrx_rt

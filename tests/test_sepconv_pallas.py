@@ -197,3 +197,24 @@ def test_mxu_path_matches_blocked():
     got = np.asarray(fused_conv_stack_blocked(p, x, w_blk=32,
                                               interpret=True, mxu=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_lp_stencil_close_to_f32_on_bf16():
+    """lp_stencil accumulates the 9 taps in bf16: must stay within bf16
+    rounding noise of the f32-accumulated path (and be exactly equal
+    in f32, where it is a no-op)."""
+    key = jax.random.PRNGKey(5)
+    p = _init_conv_stack(key, 18, [64], 56, "sepconv")
+    xf = jax.random.normal(jax.random.PRNGKey(6), (1, 14, 48, 18),
+                           jnp.float32)
+    f32_same = np.asarray(fused_conv_stack(p, xf, interpret=True,
+                                           lp_stencil=True))
+    np.testing.assert_array_equal(
+        f32_same, np.asarray(fused_conv_stack(p, xf, interpret=True)))
+    xb = xf.astype(jnp.bfloat16)
+    base = np.asarray(fused_conv_stack(p, xb, interpret=True)
+                      .astype(jnp.float32))
+    lp = np.asarray(fused_conv_stack(p, xb, interpret=True,
+                                     lp_stencil=True).astype(jnp.float32))
+    scale = np.abs(base).max()
+    assert np.abs(lp - base).max() < 0.08 * scale
