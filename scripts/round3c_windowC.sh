@@ -46,6 +46,12 @@ run 1500 python scripts/evaluate_all.py --config nrx_site_specific_100k \
 run 1200 python scripts/bench_depth.py --variant fiter \
     --depths 1 2 3 4 5 6 7 8
 
+# 5) LS/lin+LMMSE baseline re-run with the reference-faithful
+#    lin_extrap chest (quantifies the +0.64 dB shift root-cause fix)
+run 1100 python scripts/evaluate_all.py --config nrx_rt --num-tx 2 \
+    --systems baseline_lslin_lmmse --fast-ldpc --max-iter 400 \
+    --target-block-errors 200 --target-bler 5e-4 --budget-s 950
+
 echo "=== windowC done; relaunching training $(date -u '+%F %H:%M:%S')" >> "$LOG"
 sleep 30
 PYTHONUNBUFFERED=1 env NRX_SEPCONV_FOLDED=1 nohup timeout 2700 \
