@@ -52,8 +52,8 @@ run 1500 python scripts/evaluate_all.py --config nrx_rt_64qam --num-tx 2 \
 
 echo "=== windowB done; relaunching training $(date -u '+%F %H:%M:%S')" >> "$LOG"
 sleep 30
-PYTHONUNBUFFERED=1 env NRX_SEPCONV_FOLDED=1 nohup timeout 4400 \
-    python scripts/train_long.py --config nrx_rt --seconds 4200 \
+PYTHONUNBUFFERED=1 env NRX_SEPCONV_FOLDED=1 nohup timeout 3400 \
+    python scripts/train_long.py --config nrx_rt --seconds 3200 \
     > logs/nrx_rt_seg_r3g.log 2>&1 &
 echo $! > run/train.pid
 nohup bash scripts/watchdog_pid.sh run/train.pid nrx_rt 420 \
