@@ -43,11 +43,14 @@ from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
 
 
 def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
-                 lp_stencil, valid_ref, act_ref, *refs):
+                 lp_stencil, readout, valid_ref, act_ref, *refs):
     """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
     per user t: (left, mid, right) pe blocks (pe is per-user — each
     user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
-    then update-stack (dw, pw, b) per layer; then num_tx out refs.
+    then update-stack (dw, pw, b) per layer; if readout, then the LLR
+    readout MLP weights (rw1, rb1, rw2, rb2); then num_tx out refs
+    (next states, or the per-user LLR grids when readout — the final
+    iteration's state never leaves VMEM in that mode).
     act_ref (SMEM [batch, num_tx], whole array — a (1, T) block would
     violate the (8, 128) block rule at batch > 1): active_tx, indexed by
     program_id(0). valid_ref (SMEM [2]): [lo, hi) valid column range."""
@@ -56,6 +59,10 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
     agg_refs = refs[6 * num_tx:6 * num_tx + 4]
     out_refs = refs[-num_tx:]
     wrefs = refs[6 * num_tx + 4:-num_tx]
+    ro_refs = None
+    if readout:
+        ro_refs = wrefs[-4:]
+        wrefs = wrefs[:-4]
 
     bi = pl.program_id(0)
     wb = pl.program_id(1)
@@ -111,8 +118,24 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
         z = jnp.concatenate([a_t, s_exts[t], pe_ext_t], axis=-1)
         u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
                        mxu=mxu, lp_stencil=lp_stencil)
-        out_refs[t][0] = (u[:, halo:halo + w_blk, :]
-                          + s_blocks[3 * t + 1][0])
+        s_new = (u[:, halo:halo + w_blk, :]
+                 + s_blocks[3 * t + 1][0])
+        if not readout:
+            out_refs[t][0] = s_new
+            continue
+        # fused ReadoutLLRs on the residual state (per-RE MLP, one
+        # hidden layer): the final state stays in VMEM
+        x = s_new.reshape(h * w_blk, s_new.shape[-1])
+        r = jax.lax.dot_general(
+            x, ro_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = jnp.maximum(r + ro_refs[1][:].astype(jnp.float32)[None, :],
+                        0.0).astype(out_dtype)
+        r = jax.lax.dot_general(
+            r, ro_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = r + ro_refs[3][:].astype(jnp.float32)[None, :]
+        out_refs[t][0] = r.reshape(h, w_blk, -1).astype(out_dtype)
 
 
 def _flatten_dense(p, dtype):
@@ -135,7 +158,8 @@ def _flatten_dense(p, dtype):
 def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                           num_tx: int, w_blk: int,
                           interpret: bool | None = None,
-                          mxu: bool = False, lp_stencil: bool = False):
+                          mxu: bool = False, lp_stencil: bool = False,
+                          readout_p=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
@@ -158,6 +182,10 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
     agg_ops, agg_specs = _flatten_dense(agg_p, dtype)
     upd_ops, upd_specs = _flatten_weights(layers, dtype)
+    if readout_p is not None:
+        ro_ops, ro_specs = _flatten_dense(readout_p, dtype)
+        upd_ops = upd_ops + ro_ops
+        upd_specs = upd_specs + ro_specs
 
     def s_blk(tt, off):
         return pl.BlockSpec(
@@ -186,7 +214,8 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
     in_specs += specs + agg_specs + upd_specs
     operands += agg_ops + upd_ops
 
-    d_out = layers[-1]["pw"].shape[1]
+    d_out = (layers[-1]["pw"].shape[1] if readout_p is None
+             else readout_p["out"]["w"].shape[1])
     out_specs = [pl.BlockSpec((1, h, w_blk, d_out),
                               lambda i, wb: (i, 0, wb, 0),
                               memory_space=pltpu.VMEM)
@@ -196,7 +225,7 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
     kernel = functools.partial(_iter_kernel, num_tx,
                                len(upd_p["hidden"]), halo, w_blk, dtype,
-                               mxu, lp_stencil)
+                               mxu, lp_stencil, readout_p is not None)
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_wb),
@@ -213,20 +242,30 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
                     w_blk: int | None = None,
                     interpret: bool | None = None,
                     mxu: bool | None = None,
-                    lp_stencil: bool | None = None):
+                    lp_stencil: bool | None = None,
+                    readout_p=None):
     """One fused CGNN iteration: drop-in for
     `_update_state(upd, s, _aggregate_user_states(agg, s, ...), pe, ...)`
     (rx/cgnn.cgnn_apply iteration body).
 
     s: [b, T, H, W, d_s]; pe: [T, H, W, 2]; active_tx: [b, T].
     Returns the next state [b, T, H, W, d_s].
-    """
+
+    readout_p (optional, final-iteration serving mode): a 1-hidden-layer
+    ReadoutLLRs param tree — the kernel then applies the LLR readout to
+    the residual state in VMEM and returns the LLR grid
+    [b, T, H, W, num_bits] instead of the state (which never leaves
+    VMEM; the chest readout is skipped — reference keeps it outside the
+    deployed engine anyway, neural_rx.py:1773-1812)."""
     b, t, h, w, d_s = s.shape
     if w_blk is None:
         w_blk = int(os.environ.get("NRX_ITER_WBLK", "128"))
     vr, _ = _valid_range(sc_valid, w)
+    if readout_p is not None:
+        assert len(readout_p["hidden"]) == 1, "fused readout: 1 hidden"
     return _fused_iteration_impl(it_params["agg"], it_params["update"],
                                  s, pe, active_tx, vr, num_tx=t,
                                  w_blk=w_blk, interpret=interpret,
                                  mxu=_mxu_default(mxu),
-                                 lp_stencil=_lp_default(lp_stencil))
+                                 lp_stencil=_lp_default(lp_stencil),
+                                 readout_p=readout_p)

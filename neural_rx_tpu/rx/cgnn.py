@@ -192,6 +192,9 @@ class CGNNConfig:
     stencil_lp: bool | None = None  # accumulate the depthwise stencil
     # in the activation dtype (packed bf16 VPU) instead of f32;
     # None defers to the NRX_STENCIL_LP env knob (serving A/B)
+    fused_readout: bool = False  # serving only: apply the LLR readout
+    # MLP inside the FINAL fused-iteration kernel (state never leaves
+    # VMEM; chest readout skipped — single-MCS, non-masking models)
 
     @property
     def num_mcs(self):
@@ -358,6 +361,19 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
             # to the XLA path below. Serving path only: the pallas_call
             # has no custom VJP, so training always takes the XLA path
             from ..kernels.cgnn_iter_pallas import fused_iteration
+            if (cfg.fused_readout and i == num_it - 1
+                    and not apply_multiloss and cfg.num_mcs == 1
+                    and not cfg.var_mcs_masking
+                    and len(params["readout_llrs"][0]["hidden"]) == 1):
+                llr = fused_iteration(
+                    it_p, s, pe, active_tx, sc_valid,
+                    w_blk=cfg.fused_iter_wblk, mxu=cfg.conv_mxu,
+                    lp_stencil=cfg.stencil_lp,
+                    readout_p=params["readout_llrs"][0])
+                llrs.append([llr.astype(jnp.float32)])
+                # chest readout intentionally skipped (deployed-engine
+                # scope, reference neural_rx.py:1773-1812)
+                return llrs, h_hats
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
                                 w_blk=cfg.fused_iter_wblk,
                                 mxu=cfg.conv_mxu,

@@ -67,6 +67,15 @@ def main():
                                             "fused_iteration": True,
                                             "fused_iter_wblk": w,
                                             "stencil_lp": True}))
+        variants.append((f"fiter_ro_w{w}", {"fused_convs": True,
+                                            "fused_iteration": True,
+                                            "fused_iter_wblk": w,
+                                            "fused_readout": True}))
+        variants.append((f"fiter_lpro_w{w}", {"fused_convs": True,
+                                              "fused_iteration": True,
+                                              "fused_iter_wblk": w,
+                                              "stencil_lp": True,
+                                              "fused_readout": True}))
 
     def make_fn(cfg, batch):
         def fn(y_planar):

@@ -96,6 +96,19 @@ def main():
                 lambda: fused_iteration(it_p, s, pe, act,
                                         sc_valid=jnp.int32(1200),
                                         w_blk=128, interpret=False))
+    ro_p = {"hidden": [{"w": jnp.asarray(rng.normal(size=(d_s, 128)),
+                                         jnp.bfloat16),
+                        "b": jnp.zeros((128,), jnp.bfloat16)}],
+            "out": {"w": jnp.asarray(rng.normal(size=(128, 4)),
+                                     jnp.bfloat16),
+                    "b": jnp.zeros((4,), jnp.bfloat16)}}
+    ok &= check("fused_iteration + fused readout",
+                lambda: fused_iteration(it_p, s, pe, act, w_blk=128,
+                                        interpret=False, readout_p=ro_p))
+    ok &= check("fused_iteration lp stencil",
+                lambda: fused_iteration(it_p, s, pe, act, w_blk=128,
+                                        interpret=False,
+                                        lp_stencil=True))
 
     # MXU-conv variants (folded-tap separable conv, NRX_CONV_MXU knob)
     for w_blk in (128, 256):
