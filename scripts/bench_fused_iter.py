@@ -59,10 +59,13 @@ def main():
         variants.append((f"fiter_w{w}", {"fused_convs": True,
                                          "fused_iteration": True,
                                          "fused_iter_wblk": w}))
-        variants.append((f"fiter_mxu_w{w}", {"fused_convs": True,
-                                             "fused_iteration": True,
-                                             "fused_iter_wblk": w,
-                                             "conv_mxu": True}))
+        if os.environ.get("NRX_BENCH_MXU", "0") == "1":
+            # 9x-folded MXU taps: 9x the pointwise FLOPs to avoid a VPU
+            # stencil that costs less — kept only as an opt-in probe
+            variants.append((f"fiter_mxu_w{w}", {"fused_convs": True,
+                                                 "fused_iteration": True,
+                                                 "fused_iter_wblk": w,
+                                                 "conv_mxu": True}))
         variants.append((f"fiter_lp_w{w}", {"fused_convs": True,
                                             "fused_iteration": True,
                                             "fused_iter_wblk": w,
