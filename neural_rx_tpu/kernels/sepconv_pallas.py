@@ -331,15 +331,17 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 256,
 
     n_wb = -(-w // w_blk)
     w_pad = n_wb * w_blk
-    # one full zero block each side (left/right neighbor fetches of the
-    # first/last block) + round-up-to-block columns; true data starts at
-    # column w_blk of the extended array
-    x_ext = jnp.pad(
-        x, ((0, 0), (0, 0), (w_blk, 2 * w_blk + w_pad - w), (0, 0)))
+    # no side zero blocks: edge blocks fetch a clamped neighbor and the
+    # out-of-grid halo columns are re-zeroed by the kernel's in_grid
+    # mask before every layer (same trick as _fused_iteration_impl —
+    # saves 2*w_blk zero columns of HBM writes per call)
+    x_ext = jnp.pad(x, ((0, 0), (0, 0), (0, w_pad - w), (0, 0)))
 
     ops, specs = _flatten_weights(layers, dtype)
     blk = lambda off: pl.BlockSpec(  # noqa: E731
-        (1, h, w_blk, c_in), lambda i, wb, _o=off: (i, 0, wb + _o, 0),
+        (1, h, w_blk, c_in),
+        lambda i, wb, _o=off: (i, 0, jnp.clip(wb + _o - 1, 0, n_wb - 1),
+                               0),
         memory_space=pltpu.VMEM)
     kernel = functools.partial(_stack_kernel_blocked, len(p["hidden"]),
                                halo, w_blk, dtype, mxu, lp_stencil)

@@ -218,3 +218,16 @@ def test_lp_stencil_close_to_f32_on_bf16():
                                      lp_stencil=True).astype(jnp.float32))
     scale = np.abs(base).max()
     assert np.abs(lp - base).max() < 0.08 * scale
+
+
+def test_blocked_single_block_grid():
+    """w <= w_blk: the clamped neighbor fetches point at the block
+    itself; halo columns must still be masked to exact SAME-conv
+    semantics."""
+    from neural_rx_tpu.kernels.sepconv_pallas import fused_conv_stack_blocked
+    p = _init_conv_stack(jax.random.PRNGKey(7), 12, [16], 8, "sepconv")
+    x = jax.random.normal(jax.random.PRNGKey(8), (2, 14, 40, 12))
+    want = np.asarray(_apply_conv_stack(p, x, "sepconv"))
+    got = np.asarray(fused_conv_stack_blocked(p, x, w_blk=64,
+                                              interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
