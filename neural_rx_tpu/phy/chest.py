@@ -124,8 +124,8 @@ class LSChannelEstimator:
                            slot_idx, axis=0)
         return y_p[:, :, None, :] * inv[None, None]
 
-    def estimate_planar(self, y_planar: jnp.ndarray, slot_idx=None
-                        ) -> jnp.ndarray:
+    def estimate_planar(self, y_planar: jnp.ndarray, slot_idx=None,
+                        out_dtype=None) -> jnp.ndarray:
         """TPU fast path: planar in, channels-last out, no complex dtype.
 
         y_planar: [b, ant, 14, sc, 2] real (re/im last) ->
@@ -167,6 +167,13 @@ class LSChannelEstimator:
             h2 = h_pil.reshape(b, ant, n_tx * npil, 2)
             h_part = jnp.take(h2, flat_part, axis=2).reshape(h_pil.shape)
             h_pil = 0.5 * (h_pil + h_part)
+        # Round to the consumer dtype BEFORE the grid gather + layout
+        # moves: the NRX casts h_in to its compute dtype anyway, and a
+        # gather passes values through unchanged — doing it early halves
+        # the f32 gather/transpose traffic (round-3 infer trace: the
+        # full-grid interp gathers + copies were ~7% of the slot).
+        if out_dtype is not None:
+            h_pil = h_pil.astype(out_dtype)
         # channels-last BEFORE the grid interpolation (small transpose)
         h_pil = jnp.moveaxis(h_pil, 1, -1)          # [b, tx, npil, 2, ant]
         h_pil = h_pil.reshape(b, n_tx, npil, 2 * ant)

@@ -126,7 +126,12 @@ class NeuralPUSCHReceiver:
         h_in = None
         if self._ls is not None:
             if self._ls.interpolation_type == "nn":
-                h_in = self._ls.estimate_planar(y_pl, slot_idx=slot_idx)
+                # serving (bf16) surfaces gather/transpose in bf16;
+                # f32 parity evals keep the f32 path (out_dtype=None)
+                od = (self.nrx_dtype
+                      if self.nrx_dtype == jnp.bfloat16 else None)
+                h_in = self._ls.estimate_planar(y_pl, slot_idx=slot_idx,
+                                                out_dtype=od)
                 h_in = h_in[:, :self.max_num_tx]
             else:
                 h_hat, _ = self._ls(y, _LS_FIXED_NO, slot_idx=slot_idx)
