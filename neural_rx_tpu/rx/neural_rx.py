@@ -120,8 +120,13 @@ class NeuralPUSCHReceiver:
         b, ant = y.shape[0], y.shape[1]
         y_pl = jnp.stack([y.real, y.imag], axis=-1)  # [b, ant, 14, sc, 2]
         # [b, sym, sc, 2*ant], channel order [re a0.., im a0..] — same as
-        # concat([moveaxis(real), moveaxis(imag)], -1)
-        y_in = jnp.moveaxis(y_pl, 1, -1).reshape(
+        # concat([moveaxis(real), moveaxis(imag)], -1). On bf16 surfaces
+        # round before the transpose (cgnn_apply's power norm upcasts to
+        # f32 internally, so this only moves the rounding earlier and
+        # halves the transpose traffic); LS estimation keeps f32 y_pl.
+        y_t = (y_pl.astype(self.nrx_dtype)
+               if self.nrx_dtype == jnp.bfloat16 else y_pl)
+        y_in = jnp.moveaxis(y_t, 1, -1).reshape(
             b, y.shape[2], y.shape[3], 2 * ant)
         h_in = None
         if self._ls is not None:
