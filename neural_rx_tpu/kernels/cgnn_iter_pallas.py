@@ -80,26 +80,31 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
     w2 = agg_refs[2][:]
     b2 = agg_refs[3][:]
 
-    # aggregation MLP per user (per-RE; also over halo columns), masked
-    # by active_tx; f32 accumulation on the MXU, activations bf16
-    s_exts, sps = [], []
-    for t in range(num_tx):
-        s_ext = halo_cat(*s_blocks[3 * t:3 * t + 3])  # [H, w_ext, d_s]
-        s_exts.append(s_ext)
-        x = s_ext.reshape(h * w_ext, s_ext.shape[-1])
-        y = jax.lax.dot_general(
-            x, w1.astype(x.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = jnp.maximum(y + b1.astype(jnp.float32)[None, :], 0.0)
-        y = y.astype(out_dtype)
-        y = jax.lax.dot_general(
-            y, w2.astype(y.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        y = y + b2.astype(jnp.float32)[None, :]
-        sp = y.reshape(h, w_ext, -1).astype(out_dtype)
-        sps.append(sp * act_ref[bi, t].astype(out_dtype))
+    # aggregation MLP for ALL users in single stacked ops (per-RE; also
+    # over halo columns), masked by active_tx; f32 accumulation on the
+    # MXU, activations bf16. Stacking the T user states as a leading
+    # axis halves the op count and doubles the matmul rows vs the
+    # original per-user loop.
+    s_ext = jnp.stack(
+        [halo_cat(*s_blocks[3 * t:3 * t + 3]) for t in range(num_tx)],
+        axis=0)  # [T, H, w_ext, d_s]
+    d_s = s_ext.shape[-1]
+    x = s_ext.reshape(num_tx * h * w_ext, d_s)
+    y = jax.lax.dot_general(
+        x, w1.astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + b1.astype(jnp.float32)[None, :], 0.0)
+    y = y.astype(out_dtype)
+    y = jax.lax.dot_general(
+        y, w2.astype(y.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y = y + b2.astype(jnp.float32)[None, :]
+    act = jnp.stack([act_ref[bi, t].astype(out_dtype)
+                     for t in range(num_tx)])  # [T]
+    sps = (y.reshape(num_tx, h, w_ext, -1).astype(out_dtype)
+           * act[:, None, None, None])
 
-    tot = functools.reduce(lambda p, q: p + q, sps)
+    tot = jnp.sum(sps, axis=0)  # [H, w_ext, d_s]
     cnt = functools.reduce(
         lambda p, q: p + q,
         [act_ref[bi, t].astype(jnp.float32) for t in range(num_tx)]) - 1.0
@@ -112,30 +117,35 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
            + wb * w_blk - halo)
     in_grid = (col >= lo) & (col < hi)
 
+    a_all = (tot[None] - sps) * scale  # [T, H, w_ext, d_s]
+    pe_ext = jnp.stack(
+        [halo_cat(*pe_blocks[3 * t:3 * t + 3]) for t in range(num_tx)],
+        axis=0)  # [T, H, w_ext, 2]
+    z = jnp.concatenate([a_all, s_ext, pe_ext], axis=-1)
+    u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
+                   mxu=mxu, lp_stencil=lp_stencil)  # [T, H, w_ext, d_s]
+    u = u[:, :, halo:halo + w_blk, :]
+    if not readout:
+        for t in range(num_tx):
+            out_refs[t][0] = u[t] + s_blocks[3 * t + 1][0]
+        return
+    # fused ReadoutLLRs on the residual states (per-RE MLP, one hidden
+    # layer, all users in one matmul): the final state stays in VMEM
+    s_new = u + jnp.stack([s_blocks[3 * t + 1][0]
+                           for t in range(num_tx)], axis=0)
+    x = s_new.reshape(num_tx * h * w_blk, d_s)
+    r = jax.lax.dot_general(
+        x, ro_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    r = jnp.maximum(r + ro_refs[1][:].astype(jnp.float32)[None, :],
+                    0.0).astype(out_dtype)
+    r = jax.lax.dot_general(
+        r, ro_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    r = r + ro_refs[3][:].astype(jnp.float32)[None, :]
+    r = r.reshape(num_tx, h, w_blk, -1).astype(out_dtype)
     for t in range(num_tx):
-        a_t = (tot - sps[t]) * scale
-        pe_ext_t = halo_cat(*pe_blocks[3 * t:3 * t + 3])  # [H, w_ext, 2]
-        z = jnp.concatenate([a_t, s_exts[t], pe_ext_t], axis=-1)
-        u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
-                       mxu=mxu, lp_stencil=lp_stencil)
-        s_new = (u[:, halo:halo + w_blk, :]
-                 + s_blocks[3 * t + 1][0])
-        if not readout:
-            out_refs[t][0] = s_new
-            continue
-        # fused ReadoutLLRs on the residual state (per-RE MLP, one
-        # hidden layer): the final state stays in VMEM
-        x = s_new.reshape(h * w_blk, s_new.shape[-1])
-        r = jax.lax.dot_general(
-            x, ro_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r = jnp.maximum(r + ro_refs[1][:].astype(jnp.float32)[None, :],
-                        0.0).astype(out_dtype)
-        r = jax.lax.dot_general(
-            r, ro_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        r = r + ro_refs[3][:].astype(jnp.float32)[None, :]
-        out_refs[t][0] = r.reshape(h, w_blk, -1).astype(out_dtype)
+        out_refs[t][0] = r[t]
 
 
 def _flatten_dense(p, dtype):
@@ -266,6 +276,15 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     b, t, h, w, d_s = s.shape
     if w_blk is None:
         w_blk = int(os.environ.get("NRX_ITER_WBLK", "128"))
+    if _mxu_default(mxu):
+        # measured round 3: folding the 9 taps into the pointwise costs
+        # 9x the MXU FLOPs to remove a cheaper VPU stencil — a net loss
+        # at these channel widths (and the T-stacked kernel dropped the
+        # plumbing). Keep the XLA path for conv_mxu experiments.
+        raise ValueError("fused_iteration: conv_mxu is not supported "
+                         "(it measured slower; use the XLA path or "
+                         "fused_conv_stack for MXU-folded convs)")
+    mxu = False
     vr, _ = _valid_range(sc_valid, w)
     if readout_p is not None:
         assert len(readout_p["hidden"]) == 1, "fused readout: 1 hidden"

@@ -44,21 +44,47 @@ def _dw3x3(x, dw, lp_stencil=False):
 
     lp_stencil=True accumulates the 9 taps in the activation dtype
     (packed bf16 VPU ops on TPU, half the vector-register traffic) —
-    an opt-in speed/precision experiment for serving."""
-    h, w, c = x.shape
+    an opt-in speed/precision experiment for serving.
+
+    x may also be [T, H, W, C]: the stencil vectorizes over the leading
+    axis in single ops (each T image zero-padded independently), which
+    halves the per-layer op count for multi-user stacks."""
+    lead = x.ndim == 4
+    h, w, c = x.shape[-3:]
     acc_dtype = x.dtype if lp_stencil else jnp.float32
-    zc = jnp.zeros((h, 1, c), x.dtype)
-    xp = jnp.concatenate([zc, x, zc], axis=1)
-    zr = jnp.zeros((1, w + 2, c), x.dtype)
-    xp = jnp.concatenate([zr, xp, zr], axis=0)
+    ha, wa = x.ndim - 3, x.ndim - 2
+    pad = [(0, 0)] * x.ndim
+    pad[ha] = (1, 1)
+    pad[wa] = (1, 1)
+    # concat-based zero padding (NOT jnp.pad inside a kernel: identical
+    # lowering, kept explicit for Mosaic-compatibility parity with the
+    # original 3D path)
+    zc_shape = list(x.shape)
+    zc_shape[wa] = 1
+    xp = jnp.concatenate(
+        [jnp.zeros(zc_shape, x.dtype), x, jnp.zeros(zc_shape, x.dtype)],
+        axis=wa)
+    zr_shape = list(xp.shape)
+    zr_shape[ha] = 1
+    xp = jnp.concatenate(
+        [jnp.zeros(zr_shape, x.dtype), xp, jnp.zeros(zr_shape, x.dtype)],
+        axis=ha)
     acc = jnp.zeros(x.shape, acc_dtype)
+    kb = (None,) * (x.ndim - 1)  # broadcast dims for the tap vector
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             # y[i,j] += x[i+dy, j+dx] * k[dy+1, dx+1]  (zero outside)
-            shifted = jax.lax.slice(
-                xp, (1 + dy, 1 + dx, 0), (1 + dy + h, 1 + dx + w, c))
+            start = [0] * x.ndim
+            start[ha] = 1 + dy
+            start[wa] = 1 + dx
+            lim = list(x.shape)
+            lim[ha] = 1 + dy + h
+            lim[wa] = 1 + dx + w
+            if lead:
+                lim[0] = x.shape[0]
+            shifted = jax.lax.slice(xp, start, lim)
             kvec = dw[dy + 1, dx + 1].astype(acc_dtype)
-            acc = acc + shifted.astype(acc_dtype) * kvec[None, None, :]
+            acc = acc + shifted.astype(acc_dtype) * kvec[kb]
     return acc
 
 
@@ -103,17 +129,21 @@ def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False,
     ReLU makes padding non-zero after one layer, while "SAME" semantics
     pad with zeros at each layer). mxu=True routes the whole separable
     conv through the MXU (see _sepconv_mxu)."""
+    assert not (mxu and x.ndim == 4), "mxu path is 3D-only"
     for li in range(n_hidden + 1):
         if in_grid is not None:
+            # in_grid is [1, W, 1]: right-aligned broadcast also covers
+            # a leading multi-user axis ([T, H, W, C])
             x = jnp.where(in_grid, x, 0).astype(x.dtype)
         dw = wrefs[3 * li][:]
         pw = wrefs[3 * li + 1][:]
         b = wrefs[3 * li + 2][:]
-        h, w, c = x.shape
+        c = x.shape[-1]
         if mxu:
+            h, w, _ = x.shape
             y = _sepconv_mxu(x, dw, pw)
         else:
-            acc = _dw3x3(x, dw, lp_stencil)  # [H, W, C] f32 (or lp)
+            acc = _dw3x3(x, dw, lp_stencil)  # [..., H, W, C] f32 (or lp)
             # Round the depthwise accumulator back to the activation
             # dtype for the pointwise matmul: with bf16 activations a
             # f32xf32 dot here runs the MXU in its (several-fold
@@ -122,14 +152,14 @@ def _run_stack(x, wrefs, n_hidden, out_dtype, in_grid=None, mxu=False,
             # rounding class, so match it (measured round 3: the f32
             # dots were the largest single cost of the fused path).
             y = jax.lax.dot_general(
-                acc.reshape(h * w, c).astype(x.dtype),
+                acc.reshape(-1, c).astype(x.dtype),
                 pw.astype(x.dtype),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         y = y + b.astype(jnp.float32)[None, :]
         if li < n_hidden:
             y = jnp.maximum(y, 0.0)
-        x = y.reshape(h, w, -1).astype(out_dtype)
+        x = y.reshape(x.shape[:-1] + (-1,)).astype(out_dtype)
     if in_grid is not None:  # out layer's pad columns zeroed as well
         x = jnp.where(in_grid, x, 0).astype(x.dtype)
     return x

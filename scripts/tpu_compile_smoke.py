@@ -110,12 +110,8 @@ def main():
                                         interpret=False,
                                         lp_stencil=True))
 
-    # MXU-conv variants (folded-tap separable conv, NRX_CONV_MXU knob)
-    for w_blk in (128, 256):
-        ok &= check(f"fused_iteration MXU w_blk={w_blk}",
-                    lambda w=w_blk: fused_iteration(
-                        it_p, s, pe, act, w_blk=w, interpret=False,
-                        mxu=True))
+    # MXU-folded separable conv (XLA-path experiments only; the fused
+    # iteration rejects conv_mxu — measured slower in round 3)
     ok &= check("fused_conv_stack whole MXU",
                 lambda: fused_conv_stack(p_init, x18, interpret=False,
                                          mxu=True))

@@ -95,18 +95,18 @@ def test_cgnn_apply_fused_iteration_end_to_end():
                                rtol=5e-5, atol=5e-5)
 
 
-def test_fused_iteration_mxu_matches_xla():
-    """fused_iteration(mxu=True): folded-tap MXU conv == XLA oracle."""
+def test_fused_iteration_mxu_rejected():
+    """conv_mxu measured slower and the T-stacked kernel dropped it:
+    the fused iteration must refuse it loudly (XLA path still honors
+    conv_mxu via fused_conv_stack)."""
     cfg, params, s, pe = _setup()
     b = s.shape[0]
     act = jnp.broadcast_to(jnp.asarray((1, 1), jnp.float32), (b, 2))
     it_p = params["iterations"][0]
-    a = _aggregate_user_states(it_p["agg"], s, act, s.dtype)
-    want = _update_state(it_p["update"], s, a, pe, "sepconv")
-    got = fused_iteration(it_p, s, pe, act, w_blk=32, interpret=True,
-                          mxu=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
+    with pytest.raises(ValueError):
+        fused_iteration(it_p, s, pe, act, w_blk=32, interpret=True,
+                        mxu=True)
+
 
 
 def test_cgnn_apply_fused_readout_matches_default():
