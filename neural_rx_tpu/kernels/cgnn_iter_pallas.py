@@ -99,10 +99,15 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
         y, w2.astype(y.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y = y + b2.astype(jnp.float32)[None, :]
-    act = jnp.stack([act_ref[bi, t].astype(out_dtype)
-                     for t in range(num_tx)])  # [T]
-    sps = (y.reshape(num_tx, h, w_ext, -1).astype(out_dtype)
-           * act[:, None, None, None])
+    # [T,1,1,1] per-user mask built from SMEM scalars via predicate
+    # broadcasts (NOT a stacked [T] lane-vector: relayouting a 2-lane
+    # vector onto the leading axis is Mosaic-hostile)
+    tvec = jax.lax.broadcasted_iota(jnp.int32, (num_tx, 1, 1, 1), 0)
+    act4 = functools.reduce(
+        lambda p, q: p + q,
+        [act_ref[bi, t].astype(out_dtype)
+         * (tvec == t).astype(out_dtype) for t in range(num_tx)])
+    sps = y.reshape(num_tx, h, w_ext, -1).astype(out_dtype) * act4
 
     tot = jnp.sum(sps, axis=0)  # [H, w_ext, d_s]
     cnt = functools.reduce(

@@ -90,8 +90,25 @@ def main():
 
         from neural_rx_tpu.utils.profiling import chained_device_time_ms
         t0 = time.time()
-        np.asarray(jax.jit(lambda pr, y: jnp.mean(
-            fn(pr, y).astype(jnp.float32)))(params, y_example))
+        try:
+            np.asarray(jax.jit(lambda pr, y: jnp.mean(
+                fn(pr, y).astype(jnp.float32)))(params, y_example))
+        except Exception as e:  # per-depth: report, fall back to fconv
+            print(f"depth {depth}: {args.variant} failed "
+                  f"({type(e).__name__}: {str(e)[:200]})", flush=True)
+            if args.variant != "fconv":
+                cfg = dataclasses.replace(
+                    rx.cgnn_cfg, fused_convs=True)
+                print(f"depth {depth}: falling back to fconv", flush=True)
+                try:
+                    np.asarray(jax.jit(lambda pr, y: jnp.mean(
+                        fn(pr, y).astype(jnp.float32)))(params, y_example))
+                except Exception as e2:
+                    print(f"depth {depth}: fconv also failed: {e2}",
+                          flush=True)
+                    continue
+            else:
+                continue
         compile_s = time.time() - t0
         # serialized device time (trtexec "GPU compute" analog; plain
         # block_until_ready does not block through the axon tunnel)
