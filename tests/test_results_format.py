@@ -27,6 +27,11 @@ def test_results_pickle_layout(path):
     # SNR grid strictly increasing (save_results merges on the union)
     assert np.all(np.diff(ebno) > 0)
     bers, blers = data[1], data[2]
+    if "mixed_mcs" in os.path.basename(path):
+        # [ebno, BLERs_same, BLERs_mixed]: the two dicts accumulate
+        # independently (incremental budget-bounded runs)
+        blers = {**bers, **blers}
+        bers = blers
     assert set(bers.keys()) == set(blers.keys())
     assert len(bers) >= 1
     for key, curve in blers.items():
