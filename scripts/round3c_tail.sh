@@ -29,7 +29,7 @@ sleep 45
 run() {
   local t="$1"; shift
   local now; now=$(date -u +%s)
-  if [ $((now + t + 600)) -gt "$DEADLINE" ]; then
+  if [ $((now + t + 240)) -gt "$DEADLINE" ]; then
     echo "=== deadline: skip $*" >> "$LOG"; return
   fi
   echo "=== $(date -u '+%F %H:%M:%S') [timeout ${t}s] $*" >> "$LOG"
@@ -38,13 +38,14 @@ run() {
   sleep 20
 }
 
-# 1) fixed fused-iteration timing (decides the shipped serving path)
-run 800 python scripts/bench_fused_iter.py --wblk 128 --b16
-
-# 2) e2e_rt own-trained curve, EMA weights
-run 900 python scripts/evaluate_all.py --config e2e_rt --num-tx 1 \
+# 1) e2e_rt own-trained curve, EMA weights (results-matrix row; the
+#    round-2 pickle was broken)
+run 850 python scripts/evaluate_all.py --config e2e_rt --num-tx 1 \
     --systems nrx --fast-ldpc --max-iter 400 --target-block-errors 200 \
-    --target-bler 5e-4 --weights weights/e2e_rt_ema.pkl --budget-s 750
+    --target-bler 5e-4 --weights weights/e2e_rt_ema.pkl --budget-s 700
+
+# 2) fixed fused-iteration timing (decides the shipped serving path)
+run 700 python scripts/bench_fused_iter.py --wblk 128 --b16
 
 # 3) mixed-MCS mixed-half completion (incremental pickle)
 run 800 python scripts/eval_mixed_mcs.py \
