@@ -69,14 +69,25 @@ def time_fn(fn, *args, iters: int = 50, warmup: int = 3):
             "mean_ms": float(lat_ms.mean())}
 
 
-def chained_device_time_ms(fn, y0, *, length: int = 100, reps: int = 10):
+def chained_device_time_ms(fn, y0, *, length: int = 100, reps: int = 10,
+                           compiler_options: dict | None = None):
     """Serialized per-call device execution time of `fn(y) -> out`.
 
     Builds `lax.scan` chains where call i+1's input depends on call i's
     output (y' = y + 1e-6 * mean(out)), so the device cannot pipeline or
     elide calls, and only one scalar crosses the link. Returns
     (T_chain(length) - T_chain(1)) / (length - 1) in ms — the analog of
-    trtexec's "GPU compute time" (reference real_time notebook)."""
+    trtexec's "GPU compute time" (reference real_time notebook).
+
+    compiler_options: optional XLA backend options for the measured
+    program (e.g. {"xla_tpu_scoped_vmem_limit_kib": "24576"}); also
+    settable via NRX_COMPILER_OPTS="k=v,k=v" for A/B knobs in benches."""
+    import os
+    if compiler_options is None and os.environ.get("NRX_COMPILER_OPTS"):
+        compiler_options = dict(
+            kv.split("=", 1)
+            for kv in os.environ["NRX_COMPILER_OPTS"].split(","))
+
     def make(n):
         def body(y, _):
             out = fn(y)
@@ -86,6 +97,10 @@ def chained_device_time_ms(fn, y0, *, length: int = 100, reps: int = 10):
         def run(y):
             y_out, _ = jax.lax.scan(body, y, None, length=n)
             return jnp.mean(y_out)
+        if compiler_options:
+            compiled = jax.jit(run).lower(y0).compile(
+                compiler_options=compiler_options)
+            return compiled
         return jax.jit(run)
 
     long, short = make(length), make(1)
