@@ -83,3 +83,13 @@ def test_fused_iteration_compiles(tpu_sharding):
     jax.jit(lambda s_, pe_, a_: fused_iteration(
         it_p, s_, pe_, a_, w_blk=128, interpret=False,
         readout_p=ro_p)).lower(s, pe, act).compile()
+
+
+def test_ldpc_decoders_compile(tpu_sharding):
+    from neural_rx_tpu.kernels.ldpc_pallas import make_decoder
+    from neural_rx_tpu.phy.nr.ldpc import LDPCCode
+    for bg, z in ((1, 384), (2, 52), (1, 352)):
+        code = LDPCCode(bg=bg, z=z)
+        dec = make_decoder(code, num_iter=2, interpret=False)
+        llr = _sds(tpu_sharding, (30, code.num_cols * z), jnp.float32)
+        jax.jit(dec).lower(llr).compile()
