@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _dw3x3(x, dw, lp_stencil=False):
+def _dw3x3(x, dw, lp_stencil=False, flip=False):
     """Depthwise 3x3 SAME cross-correlation. x: [H, W, C]; dw: [3,3,C].
     Returns f32 [H, W, C] (or x.dtype when lp_stencil).
 
@@ -83,7 +83,11 @@ def _dw3x3(x, dw, lp_stencil=False):
             if lead:
                 lim[0] = x.shape[0]
             shifted = jax.lax.slice(xp, start, lim)
-            kvec = dw[dy + 1, dx + 1].astype(acc_dtype)
+            # flip: 180-degree-rotated taps (transposed conv / input
+            # VJP) via STATIC indexing — jnp flip lowers to `rev`,
+            # which Pallas TPU does not implement
+            ky, kx = (1 - dy, 1 - dx) if flip else (dy + 1, dx + 1)
+            kvec = dw[ky, kx].astype(acc_dtype)
             acc = acc + shifted.astype(acc_dtype) * kvec[kb]
     return acc
 
