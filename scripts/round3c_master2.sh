@@ -17,7 +17,7 @@ sleep 60
 run() {
   local t="$1"; shift
   local now; now=$(date -u +%s)
-  if [ $((now + t + 900)) -gt "$DEADLINE" ]; then
+  if [ $((now + t + 2700)) -gt "$DEADLINE" ]; then
     echo "=== deadline: skip $*" >> "$LOG"; return
   fi
   echo "=== $(date -u '+%F %H:%M:%S') [timeout ${t}s] $*" >> "$LOG"
@@ -47,18 +47,6 @@ run 1000 python scripts/bench_depth.py --variant fiter \
 run 900 python scripts/evaluate_all.py --config nrx_rt --num-tx 2 \
     --systems baseline_lslin_lmmse --fast-ldpc --max-iter 400 \
     --target-block-errors 200 --target-bler 5e-4 --budget-s 750
-
-# P7: var_mcs own-trained heads
-run 1200 python scripts/evaluate_all.py --config nrx_rt_var_mcs \
-    --num-tx 2 --systems nrx --mcs-idx 0 1 --fast-ldpc --max-iter 400 \
-    --target-block-errors 200 --target-bler 5e-4 --budget-s 1000
-
-# P8: site-specific imported fine-tune curve
-run 1300 python scripts/evaluate_all.py --config nrx_site_specific \
-    --num-tx 2 --systems nrx --fast-ldpc --max-iter 400 \
-    --target-block-errors 200 --target-bler 2e-4 \
-    --snr -3 -1 1 3 5 7 9 11 14 17 20 \
-    --ref-weights $REFW/nrx_site_specific_weights --budget-s 1100
 
 # tail: training fill to the deadline (the armed round3c_tail.sh then
 # takes this slot for e2e_rt + the fiter A/B)
