@@ -63,11 +63,16 @@ def main():
             max_iters = args.iters or 30
 
     import json
-    log_path = os.path.join(args.log_dir, f"{p.label}.jsonl")
+    # smoke runs write under an isolated label: a smoke must NEVER
+    # clobber the real trained weights pickle or truncate the live
+    # training log (this happened once — cost a trained-weights
+    # restore from git)
+    label = f"{p.label}_smoke" if args.smoke else p.label
+    log_path = os.path.join(args.log_dir, f"{label}.jsonl")
     if args.smoke and os.path.exists(log_path):
         os.remove(log_path)
 
-    params = training_loop(model, p, params, label=p.label,
+    params = training_loop(model, p, params, label=label,
                            results_dir=args.weights_dir,
                            log_dir=args.log_dir, seed=args.seed,
                            chunk=chunk, max_iters=max_iters)

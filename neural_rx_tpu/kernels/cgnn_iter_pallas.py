@@ -276,8 +276,10 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     ReadoutLLRs param tree — the kernel then applies the LLR readout to
     the residual state in VMEM and returns the LLR grid
     [b, T, H, W, num_bits] instead of the state (which never leaves
-    VMEM; the chest readout is skipped — reference keeps it outside the
-    deployed engine anyway, neural_rx.py:1773-1812)."""
+    VMEM; the chest readout is SKIPPED — note the reference's deployed
+    engine DOES include it, reference neural_rx.py:1773-1812, so this
+    mode computes strictly less than the reference engine: LLR-only
+    latency benches, not receiver eval)."""
     b, t, h, w, d_s = s.shape
     if w_blk is None:
         w_blk = int(os.environ.get("NRX_ITER_WBLK", "128"))

@@ -368,8 +368,21 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     llrs, h_hats = [], []
     for i in range(num_it):
         it_p = params["iterations"][i]
+        from ..kernels.sepconv_pallas import _mxu_default
+        if (cfg.fused_iteration and not training
+                and _mxu_default(cfg.conv_mxu)):
+            # conv_mxu (incl. via NRX_CONV_MXU=1 with cfg.conv_mxu=None)
+            # is unsupported inside the fused kernel (measured slower,
+            # plumbing dropped) — fall back to the XLA path instead of
+            # letting the kernel raise at trace time
+            import warnings
+            warnings.warn(
+                "fused_iteration requested with conv_mxu resolved "
+                "true; conv_mxu is unsupported in the fused kernel "
+                "— using the XLA/fconv iteration path instead")
         if (cfg.fused_iteration and not training
                 and cfg.layer_type_conv == "sepconv"
+                and not _mxu_default(cfg.conv_mxu)
                 and len(it_p["agg"]["hidden"]) == 1):
             # kernel supports the (universal in the config matrix)
             # 1-hidden-layer aggregation MLP; anything else falls back
@@ -386,8 +399,15 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
                     lp_stencil=cfg.stencil_lp,
                     readout_p=params["readout_llrs"][0])
                 llrs.append([llr.astype(jnp.float32)])
-                # chest readout intentionally skipped (deployed-engine
-                # scope, reference neural_rx.py:1773-1812)
+                # chest readout skipped: the state stays in VMEM, so
+                # h_hats is returned EMPTY. NOTE the reference's
+                # deployed engine DOES include the chest readout
+                # (NeuralReceiverONNX.forward returns h_hat from the
+                # CGNN, reference neural_rx.py:1773-1812) — this mode
+                # computes strictly less and is only for LLR-only
+                # latency benches (bench_fused_iter.py); receiver eval
+                # paths that need h_hat must not enable fused_readout
+                # (guarded in neural_rx.py:apply)
                 return llrs, h_hats
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
                                 w_blk=cfg.fused_iter_wblk,

@@ -179,6 +179,14 @@ class NeuralPUSCHReceiver:
             params["cgnn"], self.cgnn_cfg, y_in, jnp.asarray(self.pe),
             h_in, active_tx, mcs_ue_mask, num_it=num_it,
             training=False, dtype=self.nrx_dtype)
+        if not h_hats:
+            # fused_readout returns LLRs only (state never leaves VMEM,
+            # no chest readout) — a bench-only reduced-scope mode; this
+            # eval path returns h_hat and would IndexError below
+            raise ValueError(
+                "receiver eval needs the chest readout; disable "
+                "cfg.fused_readout (bench-only LLR mode) for "
+                "NeuralPUSCHReceiver.apply")
         # eval decodes ONE MCS per call: mcs_arr_eval[0] (matching the
         # reference's single-TBDecoder eval simplification,
         # neural_rx.py:1581-1603). Mixed-MCS scenarios go through

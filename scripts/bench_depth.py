@@ -66,7 +66,7 @@ def main():
             "fiter_mxu": {"fused_convs": True, "fused_iteration": True,
                           "fused_iter_wblk": args.wblk,
                           "conv_mxu": True}}[args.variant]
-    cfg = dataclasses.replace(rx.cgnn_cfg, **over)
+    variant_cfg = dataclasses.replace(rx.cgnn_cfg, **over)
     rg = p.transmitters[0].resource_grid
     sc = rg.num_subcarriers
     y_example = jnp.asarray(
@@ -74,9 +74,15 @@ def main():
         jnp.float32)
 
     results = {}
+    paths = {}
     for depth in args.depths:
         if depth > p.num_nrx_iter:
             continue
+        # per-depth cfg: a prior depth's fconv fallback must not leak
+        # into later depths (they would silently bench fconv while the
+        # JSON still labels the requested variant)
+        cfg = variant_cfg
+        paths[depth] = args.variant
 
         def fn(params, y_planar, depth=depth):
             y = y_planar[..., 0] + 1j * y_planar[..., 1]
@@ -99,6 +105,7 @@ def main():
             if args.variant != "fconv":
                 cfg = dataclasses.replace(
                     rx.cgnn_cfg, fused_convs=True)
+                paths[depth] = "fconv"
                 print(f"depth {depth}: falling back to fconv", flush=True)
                 try:
                     np.asarray(jax.jit(lambda pr, y: jnp.mean(
@@ -121,6 +128,7 @@ def main():
               + (f" | reference {ref} ms ({ref / p50:.1f}x)" if ref
                  else ""), flush=True)
     print(json.dumps({"variant": args.variant,
+                      "path_by_depth": paths,
                       "latency_ms_by_depth": results}))
 
 

@@ -70,15 +70,19 @@ def main():
                                             "fused_iteration": True,
                                             "fused_iter_wblk": w,
                                             "stencil_lp": True}))
-        variants.append((f"fiter_ro_w{w}", {"fused_convs": True,
-                                            "fused_iteration": True,
-                                            "fused_iter_wblk": w,
-                                            "fused_readout": True}))
-        variants.append((f"fiter_lpro_w{w}", {"fused_convs": True,
-                                              "fused_iteration": True,
-                                              "fused_iter_wblk": w,
-                                              "stencil_lp": True,
-                                              "fused_readout": True}))
+        # NOTE: *_ro variants skip the chest readout (LLR-only output)
+        # and so compute strictly LESS than the reference's deployed
+        # engine (which returns h_hat too, neural_rx.py:1773-1812) —
+        # not comparable to its 1.275 ms baseline; kernel-dev A/B only
+        variants.append((f"fiter_ro_noche_w{w}", {"fused_convs": True,
+                                                  "fused_iteration": True,
+                                                  "fused_iter_wblk": w,
+                                                  "fused_readout": True}))
+        variants.append((f"fiter_lpro_noche_w{w}", {"fused_convs": True,
+                                                    "fused_iteration": True,
+                                                    "fused_iter_wblk": w,
+                                                    "stencil_lp": True,
+                                                    "fused_readout": True}))
 
     def make_fn(cfg, batch):
         def fn(y_planar):
