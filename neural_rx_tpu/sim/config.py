@@ -198,7 +198,11 @@ class Parameters:
                 training=training, num_tx=self.max_num_tx,
                 random_subsampling=self.random_subsampling,
                 num_rx_ant=self.num_rx_antennas,
-                num_tx_ant=pc.num_antenna_ports)
+                num_tx_ant=pc.num_antenna_ports,
+                # dataset-size axis of the site fine-tune sweep
+                # (reference nrx_site_specific_sweep_results keys);
+                # set via Parameters(overrides={"cir_max_records": N})
+                max_num_examples=getattr(self, "cir_max_records", -1))
             self.channel_num_tx = None
         else:
             raise ValueError(f"Unknown channel type {ct}")
