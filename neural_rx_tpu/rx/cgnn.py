@@ -38,12 +38,10 @@ import jax.numpy as jnp
 # MXU-folded separable-conv lowering for the XLA (training/eval) path;
 # per-process, numerically equivalent either way (see _apply_sepconv)
 _SEPCONV_FOLDED = os.environ.get("NRX_SEPCONV_FOLDED", "0") == "1"
-# Custom-VJP fused sepconv stacks for TRAINING (pallas fwd+bwd,
-# kernels/sepconv_train_pallas). Opt-in pending the on-chip step A/B
-# (scripts/bench_train_step.py --fused-train); grads match the XLA
-# path (tests/test_sepconv_train_pallas.py).
-_FUSED_TRAIN = os.environ.get("NRX_FUSED_TRAIN", "0") == "1"
-_FUSED_TRAIN_BBLK = int(os.environ.get("NRX_FUSED_TRAIN_BBLK", "2"))
+# (a custom-VJP fused TRAINING sepconv existed through round 3; the
+# round-4 on-chip A/B measured it at 64.2 it/s vs 68.8 it/s for the
+# folded XLA convs, so it was deleted — folded convs remain the
+# training default)
 
 
 # ---------------------------------------------------------------------------
@@ -148,15 +146,6 @@ def _apply_conv_stack(p, x, layer_type, fused: bool = False,
         from ..kernels.sepconv_pallas import fused_conv_stack
         return fused_conv_stack(p, x, sc_valid=sc_valid, mxu=mxu,
                                 lp_stencil=lp_stencil)
-    if (_FUSED_TRAIN and layer_type == "sepconv" and sc_valid is None
-            and x.shape[0] % _FUSED_TRAIN_BBLK == 0):
-        # differentiable fused stack (pallas fwd+bwd custom VJP);
-        # bf16 matmul operands on TPU = the same rounding class as
-        # XLA's TPU f32-conv lowering
-        from ..kernels.sepconv_train_pallas import sepconv_stack_train
-        mm = (jnp.bfloat16 if jax.default_backend() == "tpu"
-              else None)
-        return sepconv_stack_train(p, x, _FUSED_TRAIN_BBLK, mm)
     f = _apply_sepconv if layer_type == "sepconv" else _apply_conv
 
     sc_mask = None

@@ -17,21 +17,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="nrx_rt")
     ap.add_argument("--folded", action="store_true")
-    ap.add_argument("--fused-train", action="store_true",
-                    help="custom-VJP pallas sepconv stacks "
-                         "(NRX_FUSED_TRAIN=1)")
-    ap.add_argument("--bblk", type=int, default=None,
-                    help="batch block of the fused training kernels")
+    # (--fused-train removed: the round-4 on-chip A/B measured the
+    # custom-VJP pallas training stacks at 64.2 it/s vs 68.8 it/s for
+    # the folded XLA convs; the kernel was deleted)
     ap.add_argument("--chunks", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     if args.folded:
         os.environ["NRX_SEPCONV_FOLDED"] = "1"
-    if args.fused_train:
-        os.environ["NRX_FUSED_TRAIN"] = "1"
-    if args.bblk is not None:
-        os.environ["NRX_FUSED_TRAIN_BBLK"] = str(args.bblk)
 
     import jax
     if args.cpu:

@@ -95,22 +95,7 @@ def test_ldpc_decoders_compile(tpu_sharding):
         jax.jit(dec).lower(llr).compile()
 
 
-def test_training_sepconv_vjp_compiles(tpu_sharding):
-    """Custom-VJP fused training stacks: fwd AND bwd lower at the
-    nrx_rt training shapes (b_blk=2 under the default vmem budget)."""
-    from neural_rx_tpu.rx.cgnn import _init_conv_stack
-    from neural_rx_tpu.kernels.sepconv_train_pallas import (
-        sepconv_stack_train)
-    p = _init_conv_stack(jax.random.PRNGKey(0), 114, [128, 128], 56,
-                         "sepconv")
-    x = _sds(tpu_sharding, (256, 14, 48, 114), jnp.float32)
-    p_s = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
-                                       sharding=tpu_sharding), p)
-
-    def loss(p_, x_):
-        y = sepconv_stack_train(p_, x_, 2, jnp.bfloat16, False)
-        return jnp.sum(y.astype(jnp.float32))
-
-    jax.jit(jax.value_and_grad(loss, argnums=(0, 1))).lower(
-        p_s, x).compile()
+# (the custom-VJP fused training sepconv and its compile test were
+# DELETED after the round-4 on-chip A/B: folded-conv XLA training ran
+# 68.8 it/s vs 64.2 it/s with the fused kernels — a 7% loss, below the
+# ship bar; see STATUS.md round-4 notes)
