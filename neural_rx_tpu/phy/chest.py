@@ -107,6 +107,149 @@ class LSChannelEstimator:
                 partner[tx] = part
             self._focc_partner = partner
 
+        self._dense_ok = False
+        if self.interpolation_type == "nn":
+            self._build_dense_nn()
+
+    # -- dense (gather-free) NN fast path --------------------------------
+    def _build_dense_nn(self):
+        """Precompute tables for `estimate_planar_dense`, or record that
+        the pilot pattern doesn't factorize (then the gather path stays).
+
+        Valid when, per TX, the active pilots form a uniform comb-2
+        pattern identical on every DMRS symbol (38.211 type-1 DMRS —
+        every live reference config). Then the Manhattan-NN gather map
+        factorizes into (nearest DMRS symbol in time) x (nearest active
+        subcarrier in frequency), and the frequency step is a static
+        1-lane shift: for comb offset d, an off-comb subcarrier s takes
+        the value at s-1 (argmin first-index tie-break), except s=0 for
+        d=1 which takes s+1. FOCC pair-averaging ((4n+d, 4n+2+d) pairs)
+        is a static +/-2-lane shift with a parity mask. Zero gathers,
+        zero narrow-trailing-dim layouts on the hot path (the round-3
+        infer trace showed the gather+copy churn at ~25% of the slot).
+        """
+        self._dense_ok = False
+        rg = self.rg
+        mask = rg.pilot_mask
+        n_sym, n_sc = mask.shape
+        i_p, j_p = np.where(mask)
+        dsyms = np.asarray(sorted(set(i_p.tolist())), np.int64)
+        nds = len(dsyms)
+        n_tx = rg.num_tx
+        combs = np.zeros(n_tx, np.int64)
+        for tx in range(n_tx):
+            act = np.abs(self.pilots[tx]) > 0
+            # active (sym, sc) pairs of this tx
+            sc_per_sym = [np.sort(j_p[(i_p == s) & act]) for s in dsyms]
+            sc0 = sc_per_sym[0]
+            if any(len(s) != len(sc0) or (s != sc0).any()
+                   for s in sc_per_sym[1:]):
+                return
+            if len(sc0) < 2:
+                return
+            d = int(sc0[0])
+            if d not in (0, 1) or (np.diff(sc0) != 2).any() \
+                    or len(sc0) != n_sc // 2 \
+                    or (n_sc % 4) != 0:
+                return
+            combs[tx] = d
+        if self.focc_removal:
+            # verify the partner map is the (4n+d, 4n+2+d) pairing the
+            # shift construction assumes
+            for tx in range(n_tx):
+                act = np.abs(self.pilots[tx]) > 0
+                part = self._focc_partner[tx]
+                for k in np.where(act)[0]:
+                    sc_k, sc_p = j_p[k], j_p[part[k]]
+                    if i_p[k] != i_p[part[k]]:
+                        return
+                    g = (sc_k - combs[tx]) // 2
+                    want = sc_k + 2 if g % 2 == 0 else sc_k - 2
+                    if sc_p != want:
+                        return
+        # nearest DMRS symbol per output symbol (first-index tie-break)
+        dist = np.abs(np.arange(n_sym)[:, None] - dsyms[None, :])
+        self._dense_sym_sel = np.argmin(dist, axis=1).astype(np.int32)
+        self._dense_dsyms = dsyms
+        self._dense_combs = combs
+        # dense per-slot inverse-pilot grids [num_slots, tx, nds, sc]
+        pb_inv = self._pilot_inv_bank  # [num_slots, tx, n_pilots]
+        n_slots = pb_inv.shape[0]
+        sym_pos = {int(s): k for k, s in enumerate(dsyms)}
+        dense = np.zeros((n_slots, n_tx, nds, n_sc), np.complex64)
+        dense[:, :, [sym_pos[int(s)] for s in i_p], j_p] = pb_inv
+        self._dense_inv_r = np.ascontiguousarray(dense.real)
+        self._dense_inv_i = np.ascontiguousarray(dense.imag)
+        # static sc masks
+        sc = np.arange(n_sc)
+        self._dense_oncomb = np.stack(
+            [(sc % 2) == combs[tx] for tx in range(n_tx)])  # [tx, sc]
+        self._dense_geven = np.stack(
+            [((sc - combs[tx]) // 2) % 2 == 0 for tx in range(n_tx)])
+        self._dense_ok = True
+
+    def estimate_planar_dense(self, y_planar: jnp.ndarray, slot_idx=None,
+                              out_dtype=None) -> jnp.ndarray:
+        """Gather-free NN LS estimate (see `_build_dense_nn`).
+
+        Same contract and (bit-exact) result as `estimate_planar`:
+        y_planar [b, ant, 14, sc, 2] real -> h_in [b, tx, 14, sc, 2*ant]
+        with channel order [re a0.., im a0..].
+        """
+        assert self._dense_ok
+        rg = self.rg
+        b, ant = y_planar.shape[0], y_planar.shape[1]
+        n_sym, n_sc = rg.pilot_mask.shape
+        n_tx = rg.num_tx
+        dsyms = jnp.asarray(self._dense_dsyms)
+        # DMRS symbols only, sc stays minor: [b, ant, nds, sc]
+        yr = jnp.take(y_planar[..., 0], dsyms, axis=2)
+        yi = jnp.take(y_planar[..., 1], dsyms, axis=2)
+        if slot_idx is None:
+            invr = jnp.asarray(self._dense_inv_r[self._default_slot])
+            invi = jnp.asarray(self._dense_inv_i[self._default_slot])
+        else:
+            invr = jnp.take(jnp.asarray(self._dense_inv_r), slot_idx,
+                            axis=0)
+            invi = jnp.take(jnp.asarray(self._dense_inv_i), slot_idx,
+                            axis=0)
+        # [b, ant, tx, nds, sc] planar complex multiply (dense, no take)
+        hr = yr[:, :, None] * invr - yi[:, :, None] * invi
+        hi = yr[:, :, None] * invi + yi[:, :, None] * invr
+        if self.focc_removal:
+            ge = jnp.asarray(self._dense_geven)[None, None, :, None, :]
+            hr = 0.5 * (hr + jnp.where(ge, jnp.roll(hr, -2, axis=-1),
+                                       jnp.roll(hr, 2, axis=-1)))
+            hi = 0.5 * (hi + jnp.where(ge, jnp.roll(hi, -2, axis=-1),
+                                       jnp.roll(hi, 2, axis=-1)))
+        if out_dtype is not None:
+            hr = hr.astype(out_dtype)
+            hi = hi.astype(out_dtype)
+        # frequency NN: off-comb sc takes the value one lane to the left
+        oc = jnp.asarray(self._dense_oncomb)[None, None, :, None, :]
+        hr = jnp.where(oc, hr, jnp.roll(hr, 1, axis=-1))
+        hi = jnp.where(oc, hi, jnp.roll(hi, 1, axis=-1))
+        if any(int(d) == 1 for d in self._dense_combs):
+            # d=1: s=0 has no left pilot; NN is s=1 (wrap fix, static)
+            fix = jnp.asarray(
+                [1 if int(d) == 1 else 0 for d in self._dense_combs],
+                jnp.int32)  # per-tx source sc for s=0
+            src_r = jnp.take_along_axis(
+                hr, fix[None, None, :, None, None], axis=-1)
+            src_i = jnp.take_along_axis(
+                hi, fix[None, None, :, None, None], axis=-1)
+            first = (jnp.arange(n_sc) == 0)[None, None, None, None, :]
+            hr = jnp.where(first, src_r, hr)
+            hi = jnp.where(first, src_i, hi)
+        # time NN: expand the nds DMRS rows to all 14 symbols
+        sel = jnp.asarray(self._dense_sym_sel)
+        hr = jnp.take(hr, sel, axis=3)  # [b, ant, tx, 14, sc]
+        hi = jnp.take(hi, sel, axis=3)
+        # one final transpose to the NRX h_in layout
+        h = jnp.stack([hr, hi], axis=1)  # [b, 2, ant, tx, 14, sc]
+        h = jnp.transpose(h, (0, 3, 4, 5, 1, 2))  # [b,tx,14,sc,2,ant]
+        return h.reshape(b, n_tx, n_sym, n_sc, 2 * ant)
+
     def ls_at_pilots(self, y: jnp.ndarray, slot_idx=None) -> jnp.ndarray:
         """Raw LS estimates at pilot REs: y [b, ant, 14, sc] ->
         h_ls [b, ant, num_tx, n_pilots] (zeros on other-comb REs).

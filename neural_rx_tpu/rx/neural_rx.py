@@ -135,8 +135,16 @@ class NeuralPUSCHReceiver:
                 # f32 parity evals keep the f32 path (out_dtype=None)
                 od = (self.nrx_dtype
                       if self.nrx_dtype == jnp.bfloat16 else None)
-                h_in = self._ls.estimate_planar(y_pl, slot_idx=slot_idx,
-                                                out_dtype=od)
+                import os as _os
+                if (self._ls._dense_ok
+                        and _os.environ.get("NRX_DENSE_LS", "1") == "1"):
+                    # gather-free comb-factorized NN (bit-exact vs the
+                    # gather path; see chest._build_dense_nn)
+                    h_in = self._ls.estimate_planar_dense(
+                        y_pl, slot_idx=slot_idx, out_dtype=od)
+                else:
+                    h_in = self._ls.estimate_planar(
+                        y_pl, slot_idx=slot_idx, out_dtype=od)
                 h_in = h_in[:, :self.max_num_tx]
             else:
                 h_hat, _ = self._ls(y, _LS_FIXED_NO, slot_idx=slot_idx)

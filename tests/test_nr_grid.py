@@ -217,6 +217,24 @@ class TestLSEstimator:
             assert np.allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5), f"slot_idx={slot_idx}"
 
+    def test_estimate_planar_dense_bit_exact(self):
+        """The gather-free comb-factorized NN path (round-4 serving
+        prep optimization) must be BIT-exact vs estimate_planar, in f32
+        and with early bf16 rounding, for any slot index."""
+        rg = ResourceGrid(make_configs())
+        est = LSChannelEstimator(rg, "nn")
+        assert est._dense_ok, "type-1 comb pattern must factorize"
+        y_pl = jax.random.normal(jax.random.PRNGKey(7),
+                                 (2, 4, 14, 48, 2), jnp.float32)
+        for slot_idx in (None, jnp.asarray(5)):
+            for od in (None, jnp.bfloat16):
+                a = est.estimate_planar(y_pl, slot_idx=slot_idx,
+                                        out_dtype=od)
+                b = est.estimate_planar_dense(y_pl, slot_idx=slot_idx,
+                                              out_dtype=od)
+                assert a.dtype == b.dtype and a.shape == b.shape
+                assert bool(jnp.all(a == b)), (slot_idx, od)
+
     def test_err_var_scaling(self):
         rg = ResourceGrid(make_configs())
         est = LSChannelEstimator(rg, "nn")
