@@ -9,6 +9,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--tpu", action="store_true")
+ap.add_argument("--smoke", action="store_true",
+                help="assert the committed golden outputs "
+                     "(examples/expected_outputs.md)")
 args = ap.parse_args()
 
 import jax
@@ -33,3 +36,22 @@ ber, bler = sim_ber(model, params, [0.0, 4.0], batch_size=8,
                     max_mc_iter=2, num_target_block_errors=10)
 print("(untrained weights — load weights/nrx_rt_weights.pkl or import "
       "reference weights via neural_rx_tpu.compat for real curves)")
+
+if args.smoke:
+    # golden outputs (examples/expected_outputs.md): exact architecture
+    # parity + the trained-vs-untrained BER gap on the 4-PRB demo grid
+    import numpy as np
+    from neural_rx_tpu.sim.training import load_weights
+    assert count_params(params["cgnn"]) == 142922, \
+        count_params(params["cgnn"])
+    assert float(np.asarray(bler)[0]) > 0.9  # untrained = chance
+    trained = load_weights(os.path.join(
+        os.path.dirname(__file__), "..", "weights",
+        "nrx_rt_weights.pkl"))
+    ber_t, _ = sim_ber(model, trained, [4.0], batch_size=8,
+                       max_mc_iter=2, num_target_block_errors=10)
+    b_u, b_t = float(np.asarray(ber)[1]), float(np.asarray(ber_t)[0])
+    print(f"BER @4 dB: untrained {b_u:.3f}, trained {b_t:.3f}")
+    assert b_u > 0.45, b_u          # untrained: coin flips
+    assert b_t < b_u - 0.08, (b_t, b_u)  # trained: clearly better
+    print("SMOKE PASSED")

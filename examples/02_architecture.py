@@ -1,8 +1,9 @@
 """CGNN architecture anatomy: components, parameter counts, and the
 accuracy/latency trade of iteration-depth truncation
 (mirror of the reference nrx_architecture notebook)."""
-import sys, os, time
+import sys, os, time, argparse
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+SMOKE = "--smoke" in sys.argv
 
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -27,9 +28,19 @@ print(f"  readouts   : "
 
 # depth truncation: the num_it property lets a trained 8-iteration
 # network run at any depth 1..8 (latency/BLER trade, BASELINE.md)
+if SMOKE:
+    # golden outputs (examples/expected_outputs.md): exact component
+    # parameter counts of the 8-iteration nrx_large architecture
+    assert count_params(params) == 437366, count_params(params)
+    assert count_params(params["s_init"]) == 28634
+    assert count_params(params["iterations"][0]) == 49074
+    assert (count_params(params["readout_llrs"])
+            + count_params(params["readout_chest"])) == 16140
+
 y = jax.random.normal(jax.random.PRNGKey(1), (1, 14, 48, 8))
 pe = jax.random.normal(jax.random.PRNGKey(2), (2, 14, 48, 2))
 h = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 14, 48, 8))
+outs = {}
 for num_it in (1, 2, 4, 8):
     f = jax.jit(lambda p_, y_, h_: cgnn_apply(
         p_, cfg, y_, pe, h_, jnp.ones((1, 2)), jnp.ones((1, 2, 1)),
@@ -38,6 +49,12 @@ for num_it in (1, 2, 4, 8):
     t0 = time.perf_counter()
     for _ in range(5):
         out = f(params, y, h)
-    np.asarray(out)
+    outs[num_it] = np.asarray(out)
     print(f"num_it={num_it}: {(time.perf_counter()-t0)/5*1e3:.2f} ms "
           f"(CPU, 4 PRB demo)")
+
+if SMOKE:
+    # depth truncation really truncates: different depths, different LLRs
+    assert not np.allclose(outs[1], outs[8])
+    assert not np.allclose(outs[2], outs[4])
+    print("SMOKE PASSED")

@@ -8,6 +8,9 @@ import argparse
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--tpu", action="store_true")
+ap.add_argument("--smoke", action="store_true",
+                help="assert the committed golden outputs "
+                     "(examples/expected_outputs.md)")
 args = ap.parse_args()
 
 import jax
@@ -39,3 +42,30 @@ print("engine latency:", stats)
 ev = AerialDataEvaluator(model)
 out = ev(compiled(params, *inputs), labels)
 print("engine output metrics (untrained weights):", out)
+
+if args.smoke:
+    # golden outputs (examples/expected_outputs.md): the deployed
+    # Aerial-ABI engine with the committed trained weights decodes
+    # cleanly at high SNR — an engine-vs-simulation acceptance check
+    from neural_rx_tpu.sim.training import load_weights
+    trained = load_weights(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "weights",
+        "nrx_rt_weights.pkl"))
+    bers, crcs = [], []
+    for s in range(4):  # the engine is compiled for batch 1
+        ins, labs = gen(jax.random.PRNGKey(10 + s), 1, 20.0)
+        m = ev(compiled(trained, *ins), labs)
+        bers.append(m["coded_ber"])
+        crcs.append(m["crc_pass_rate"])
+    out_t = {"coded_ber": float(np.mean(bers)),
+             "crc_pass_rate": float(np.mean(crcs))}
+    print("engine output metrics (trained weights, 20 dB):", out_t)
+    # the 4-PRB 2-UE demo grid is hard (short code blocks, little
+    # frequency diversity): golden band is trained ~0.20 coded BER /
+    # ~0.4 CRC pass vs untrained ~0.5 / 0.0 (see expected_outputs.md)
+    assert out_t["coded_ber"] < 0.30, out_t
+    assert out_t["crc_pass_rate"] >= 0.25, out_t
+    assert out["crc_pass_rate"] == 0.0, out  # untrained: nothing passes
+    assert out_t["coded_ber"] < out["coded_ber"] - 0.15, (out, out_t)
+    assert stats["p50_ms"] > 0
+    print("SMOKE PASSED")

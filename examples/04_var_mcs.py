@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from neural_rx_tpu.rx.cgnn import (CGNNConfig, init_cgnn_params,
                                    count_params)
 
+SMOKE = "--smoke" in sys.argv
+
 base = dict(num_rx_ant=4, num_it=2, d_s=56, num_units_init=(128, 128),
             num_units_agg=((64,), (64,)),
             num_units_state=((128, 128), (128, 128)),
@@ -45,3 +47,17 @@ with tempfile.TemporaryDirectory() as td:
         pr, k, 2, jnp.float32(10.0)))(params, jax.random.PRNGKey(1))
     print(f"mixed-MCS eval: UE0 on QPSK (TB {b.shape[-1]} bits), "
           f"UE1 on 16QAM — ran OK")
+
+if SMOKE:
+    # golden outputs (examples/expected_outputs.md): exact parameter
+    # counts of both var-MCS modes (the masking mode shares one head
+    # where the IO mode carries 3 input + 3 readout stacks) and a
+    # well-formed mixed-MCS eval
+    assert count_params(p_io) == 215814, count_params(p_io)
+    assert count_params(p_mask) == 143180, count_params(p_mask)
+    assert len(p_io["s_init"]) == 3 and len(p_io["readout_llrs"]) == 3
+    assert len(p_mask["s_init"]) == 1 and len(p_mask["readout_llrs"]) == 1
+    assert b.shape == b_hat.shape and b.shape[-1] > 0
+    import numpy as np
+    assert set(np.unique(np.asarray(b_hat))) <= {0.0, 1.0}
+    print("SMOKE PASSED")

@@ -9,6 +9,8 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
+SMOKE = "--smoke" in sys.argv
+
 from neural_rx_tpu.sim.config import Parameters
 from neural_rx_tpu.sim.e2e import E2EModel
 from neural_rx_tpu.sim.metrics import calculate_goodput, \
@@ -49,3 +51,16 @@ print(f"goodput @BLER 1%: {gp_dmrs:.3f} bit/RE with DMRS budget, "
 export_constellation(Constellation.points(
     jnp.asarray(params["constellation"][0])), "/tmp/e2e_constellation.csv")
 print("constellation exported to /tmp/e2e_constellation.csv")
+
+if SMOKE:
+    # golden outputs (examples/expected_outputs.md)
+    assert p.custom_constellation and p.mask_pilots \
+        and p.initial_chest is None
+    gnorm = float(jnp.linalg.norm(g["constellation"][0]))
+    assert gnorm > 1e-4, gnorm  # TX constellation receives gradient
+    # pilotless goodput gain == the exact DMRS RE fraction won back
+    want = (rg.num_resource_elements
+            / (rg.num_resource_elements - rg.num_pilot_symbols))
+    assert abs(gp_free / gp_dmrs - want) < 1e-6
+    assert os.path.getsize("/tmp/e2e_constellation.csv") > 0
+    print("SMOKE PASSED")

@@ -10,6 +10,8 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
+SMOKE = "--smoke" in sys.argv
+
 from neural_rx_tpu.sim.trajectory import (sample_along_trajectory,
                                           ensure_site_datasets)
 from neural_rx_tpu.channel.dataset import DatasetChannel
@@ -35,3 +37,15 @@ print(f"dataset channel CFRs: {h.shape}, "
 print("fine-tune with: python -m neural_rx_tpu.cli.train "
       "--config nrx_site_specific --warm-start "
       "(warm start from UMi-trained weights, reference workflow)")
+
+if SMOKE:
+    # golden outputs (examples/expected_outputs.md)
+    assert len(pos) == 200 and len(vel) == 200
+    assert np.allclose(np.linalg.norm(np.asarray(vel), axis=1), 1.4)
+    assert h.shape == (4, 4, 2, 2, 14, 48)  # [b, rx, tx, ports, sym, sc]
+    pw = float(jnp.mean(jnp.abs(h) ** 2))
+    assert 0.05 < pw < 20.0, pw  # physically sane CFR power
+    # training partitions are disjoint per UE (no shared CIR records)
+    parts = ch.partitions
+    assert len(np.intersect1d(parts[0], parts[1])) == 0
+    print("SMOKE PASSED")

@@ -7,6 +7,7 @@ import argparse
 ap = argparse.ArgumentParser()
 ap.add_argument("--results", default="/tmp/demo_results.pkl")
 ap.add_argument("--out", default="/tmp/nrx_results")
+ap.add_argument("--smoke", action="store_true")
 args = ap.parse_args()
 
 from neural_rx_tpu.sim.metrics import plot_results, export_csv
@@ -27,3 +28,10 @@ plot_results(args.results, args.out + "_bler.png", metric="bler",
              title="PUSCH BLER")
 export_csv(args.results, args.out + ".csv")
 print(f"wrote {args.out}_bler.png and {args.out}.csv")
+
+if args.smoke:
+    # golden outputs (examples/expected_outputs.md)
+    assert os.path.getsize(args.out + "_bler.png") > 1000
+    rows = open(args.out + ".csv").read().strip().splitlines()
+    assert len(rows) >= 3 and "," in rows[0], rows[:2]
+    print("SMOKE PASSED")

@@ -35,11 +35,21 @@ src_path = os.path.join(os.path.dirname(__file__), "..",
 src = (load_weights(src_path) if os.path.exists(src_path)
        else init("nrx_rt"))
 
+SMOKE = "--smoke" in sys.argv
+# golden leaf-transfer counts (examples/expected_outputs.md): the
+# backbone (init convs, aggregation, update convs, chest readout) is
+# MCS-agnostic; only LLR heads (and var_mcs extra IO stacks) re-init
+GOLDEN = {"nrx_rt_qpsk": (41, 2), "nrx_rt_64qam": (41, 2),
+          "nrx_rt_var_mcs": (41, 15)}
 for target in ("nrx_rt_qpsk", "nrx_rt_64qam", "nrx_rt_var_mcs"):
     dst = init(target)
     merged, copied, kept = merge_matching_leaves(dst, src)
     print(f"nrx_rt -> {target:16s}: {copied} leaves transferred, "
           f"{kept} re-initialized (LLR heads)")
+    if SMOKE:
+        assert (copied, kept) == GOLDEN[target], (target, copied, kept)
+if SMOKE:
+    print("SMOKE PASSED")
 
 print("\ntrain the target config from the merged tree with:\n"
       "  python scripts/train_long.py --config nrx_rt_qpsk "
