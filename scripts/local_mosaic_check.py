@@ -107,6 +107,19 @@ def main():
                 sds((2, 14, 1584, 2), jnp.bfloat16),
                 sds((1, 2), jnp.float32))
 
+    def check_entry():
+        # the full deployed surface bench.py times (incl. the dense-LS
+        # prep path): catches any XLA/Mosaic lowering break before the
+        # round-end chip bench
+        import __graft_entry__
+        fn, args = __graft_entry__.entry()
+        sargs = jax.tree.map(
+            lambda a: sds(a.shape, a.dtype), args)
+        return check("deployed entry() full surface",
+                     lambda *a: fn(*a), *sargs)
+
+    ok &= check_entry()
+
     print("LOCAL MOSAIC " + ("OK" if ok else "FAIL"))
     return 0 if ok else 1
 

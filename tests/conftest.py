@@ -19,3 +19,28 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# Fast edit-loop tier: `pytest -m quick` (< ~2 min). Files chosen from
+# the measured per-test durations of the full suite (round-4 run:
+# 284 tests / ~28 min wall); everything not listed still runs in the
+# default (unfiltered) invocation.
+_QUICK_FILES = {
+    "test_cgnn.py",
+    "test_cgnn_iter_pallas.py",
+    "test_dataset_channel.py",
+    "test_nr_grid.py",
+    "test_phy_primitives.py",
+    "test_profiling.py",
+    "test_results_format.py",
+    "test_sepconv_pallas.py",
+    "test_warm_start.py",
+    "test_weight_import.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _QUICK_FILES:
+            item.add_marker(pytest.mark.quick)
