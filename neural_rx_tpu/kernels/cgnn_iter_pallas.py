@@ -43,7 +43,7 @@ from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
 
 
 def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
-                 lp_stencil, readout, valid_ref, act_ref, *refs):
+                 lp_stencil, readout, nblk, valid_ref, act_ref, *refs):
     """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
     per user t: (left, mid, right) pe blocks (pe is per-user — each
     user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
@@ -53,25 +53,35 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
     iteration's state never leaves VMEM in that mode).
     act_ref (SMEM [batch, num_tx], whole array — a (1, T) block would
     violate the (8, 128) block rule at batch > 1): active_tx, indexed by
-    program_id(0). valid_ref (SMEM [2]): [lo, hi) valid column range."""
-    s_blocks = refs[:3 * num_tx]
-    pe_blocks = refs[3 * num_tx:6 * num_tx]
-    agg_refs = refs[6 * num_tx:6 * num_tx + 4]
+    program_id(0). valid_ref (SMEM [2]): [lo, hi) valid column range.
+    nblk: 3 = overlap-save (left/mid/right per user), 1 = whole-grid
+    residency (halo == 0; the VMEM buffer edge IS the grid edge, so the
+    stencil's concat-zero-pad gives SAME-conv semantics directly)."""
+    s_blocks = refs[:nblk * num_tx]
+    pe_blocks = refs[nblk * num_tx:2 * nblk * num_tx]
+    agg_refs = refs[2 * nblk * num_tx:2 * nblk * num_tx + 4]
     out_refs = refs[-num_tx:]
-    wrefs = refs[6 * num_tx + 4:-num_tx]
+    wrefs = refs[2 * nblk * num_tx + 4:-num_tx]
     ro_refs = None
     if readout:
         ro_refs = wrefs[-4:]
         wrefs = wrefs[:-4]
 
     bi = pl.program_id(0)
-    wb = pl.program_id(1)
+    wb = pl.program_id(1) if nblk == 3 else 0
     lo, hi = valid_ref[0], valid_ref[1]
     w_ext = w_blk + 2 * halo
 
-    def halo_cat(l, m, r):
-        return jnp.concatenate(
-            [l[0, :, w_blk - halo:, :], m[0], r[0, :, :halo, :]], axis=1)
+    if nblk == 3:
+        def halo_cat(l, m, r):
+            return jnp.concatenate(
+                [l[0, :, w_blk - halo:, :], m[0], r[0, :, :halo, :]],
+                axis=1)
+    else:
+        assert halo == 0
+
+        def halo_cat(m):
+            return m[0]
 
     h = s_blocks[0].shape[1]
 
@@ -86,7 +96,8 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
     # axis halves the op count and doubles the matmul rows vs the
     # original per-user loop.
     s_ext = jnp.stack(
-        [halo_cat(*s_blocks[3 * t:3 * t + 3]) for t in range(num_tx)],
+        [halo_cat(*s_blocks[nblk * t:nblk * t + nblk])
+         for t in range(num_tx)],
         axis=0)  # [T, H, w_ext, d_s]
     d_s = s_ext.shape[-1]
     x = s_ext.reshape(num_tx * h * w_ext, d_s)
@@ -124,19 +135,21 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
 
     a_all = (tot[None] - sps) * scale  # [T, H, w_ext, d_s]
     pe_ext = jnp.stack(
-        [halo_cat(*pe_blocks[3 * t:3 * t + 3]) for t in range(num_tx)],
+        [halo_cat(*pe_blocks[nblk * t:nblk * t + nblk])
+         for t in range(num_tx)],
         axis=0)  # [T, H, w_ext, 2]
     z = jnp.concatenate([a_all, s_ext, pe_ext], axis=-1)
     u = _run_stack(z, wrefs, n_hidden, out_dtype, in_grid=in_grid,
                    mxu=mxu, lp_stencil=lp_stencil)  # [T, H, w_ext, d_s]
     u = u[:, :, halo:halo + w_blk, :]
+    mid = nblk // 2  # index of each user's own block (1 of 3, or 0 of 1)
     if not readout:
         for t in range(num_tx):
-            out_refs[t][0] = u[t] + s_blocks[3 * t + 1][0]
+            out_refs[t][0] = u[t] + s_blocks[nblk * t + mid][0]
         return
     # fused ReadoutLLRs on the residual states (per-RE MLP, one hidden
     # layer, all users in one matmul): the final state stays in VMEM
-    s_new = u + jnp.stack([s_blocks[3 * t + 1][0]
+    s_new = u + jnp.stack([s_blocks[nblk * t + mid][0]
                            for t in range(num_tx)], axis=0)
     x = s_new.reshape(num_tx * h * w_blk, d_s)
     r = jax.lax.dot_general(
@@ -178,10 +191,19 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
-    halo = -(-len(layers) // 8) * 8  # conv halo rounded to sublanes
     b, t, h, w, d_s = s.shape
     assert t == num_tx
     dtype = s.dtype
+    # whole-grid residency: one W block spanning the (128-aligned) full
+    # width — no halos, no neighbor fetches, no per-block weight
+    # reloads; needs a raised scoped-vmem budget (NRX_COMPILER_OPTS /
+    # XLA_FLAGS --xla_tpu_scoped_vmem_limit_kib, see bench_fused_iter)
+    whole = w_blk >= w
+    if whole:
+        w_blk = -(-w // 128) * 128
+        halo = 0
+    else:
+        halo = -(-len(layers) // 8) * 8  # conv halo rounded to sublanes
     assert halo <= w_blk
 
     n_wb = -(-w // w_blk)
@@ -224,12 +246,13 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                 pl.BlockSpec(memory_space=pltpu.SMEM)]
     operands = [sc_valid, active_tx.astype(jnp.float32)]
     specs = []
+    offs = (1,) if whole else (0, 1, 2)  # off 1 == own block
     for tt in range(num_tx):
-        for off in (0, 1, 2):
+        for off in offs:
             specs.append(s_blk(tt, off))
             operands.append(s_ext)
     for tt in range(num_tx):
-        for off in (0, 1, 2):
+        for off in offs:
             specs.append(pe_blk(tt, off))
             operands.append(pe_ext)
     in_specs += specs + agg_specs + upd_specs
@@ -246,7 +269,8 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
     kernel = functools.partial(_iter_kernel, num_tx,
                                len(upd_p["hidden"]), halo, w_blk, dtype,
-                               mxu, lp_stencil, readout_p is not None)
+                               mxu, lp_stencil, readout_p is not None,
+                               len(offs))
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_wb),

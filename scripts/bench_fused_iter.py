@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--length", type=int, default=100)
     ap.add_argument("--wblk", type=int, nargs="*", default=[128, 256])
     ap.add_argument("--b16", action="store_true")
+    ap.add_argument("--lean", action="store_true",
+                    help="only xla/fconv/fiter_w* (skip lp/ro variants; "
+                         "whole-grid w_blk>=W compiles take ~8 min each "
+                         "— keep chip windows lean)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -59,13 +63,11 @@ def main():
         variants.append((f"fiter_w{w}", {"fused_convs": True,
                                          "fused_iteration": True,
                                          "fused_iter_wblk": w}))
-        if os.environ.get("NRX_BENCH_MXU", "0") == "1":
-            # 9x-folded MXU taps: 9x the pointwise FLOPs to avoid a VPU
-            # stencil that costs less — kept only as an opt-in probe
-            variants.append((f"fiter_mxu_w{w}", {"fused_convs": True,
-                                                 "fused_iteration": True,
-                                                 "fused_iter_wblk": w,
-                                                 "conv_mxu": True}))
+        # (the former fiter_mxu probe was removed: since the round-4
+        # conv_mxu fallback fix, cgnn_apply routes conv_mxu+fused_iter
+        # to the fconv path, so the variant would mislabel fconv)
+        if args.lean:
+            continue
         variants.append((f"fiter_lp_w{w}", {"fused_convs": True,
                                             "fused_iteration": True,
                                             "fused_iter_wblk": w,
