@@ -39,8 +39,9 @@ def _setup(d_s=24, t=2, sc=48, num_it=2):
 
 
 @pytest.mark.parametrize("active", [(1, 1), (1, 0)])
-@pytest.mark.parametrize("w_blk", [16, 32])
+@pytest.mark.parametrize("w_blk", [16, 32, 4096])
 def test_fused_iteration_matches_xla(active, w_blk):
+    # w_blk=4096 >= W exercises the whole-grid halo-free variant
     cfg, params, s, pe = _setup()
     b = s.shape[0]
     act = jnp.broadcast_to(jnp.asarray(active, jnp.float32), (b, 2))
