@@ -248,7 +248,12 @@ def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None,
     vr, masked = _valid_range(sc_valid, w)
     # input + widest intermediate (held twice across a layer boundary)
     per_re = (c_in + 2 * max(widths)) * x.dtype.itemsize
-    if h * w * per_re > 10 * 2**20:  # ~10 MB of the ~16 MB VMEM
+    # whole-grid budget: ~10 MB of the default 16 MB scoped VMEM;
+    # raise via NRX_STACK_WHOLE_MB together with a raised
+    # --xla_tpu_scoped_vmem_limit_kib to keep wide grids halo-free
+    # (A/B'd alongside the whole-grid fused iteration, round 4)
+    whole_mb = int(os.environ.get("NRX_STACK_WHOLE_MB", "10"))
+    if h * w * per_re > whole_mb * 2**20:
         return fused_conv_stack_blocked(p, x, interpret=interpret,
                                         sc_valid=vr, mxu=mxu,
                                         lp_stencil=lp_stencil)
