@@ -108,6 +108,18 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
     n_pts = points.shape[0]
     n_streams = h.shape[-1]
 
+    # sorted detection order (standard K-Best / SQRD): permute columns
+    # so the STRONGEST stream sits last and is detected at the root
+    # level, minimizing error propagation through the prunes. Matters
+    # most where pruning is harshest (2 streams of 64-QAM keep 64 of
+    # 4096 at level 1: the round-4 unordered detector measured +1.76 dB
+    # vs the reference's Sionna K-Best on that exact curve).
+    order = None
+    if n_streams > 1:
+        norms = jnp.sum(jnp.abs(h) ** 2, axis=-2)  # [..., S]
+        order = jnp.argsort(norms, axis=-1)  # ascending: strongest last
+        h = jnp.take_along_axis(h, order[..., None, :], axis=-1)
+
     q, r = _qr_small(h)  # q: [..., ant, S], r: [..., S, S]
     z = jnp.einsum("...as,...a->...s", jnp.conj(q), y)
 
@@ -166,7 +178,13 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
         m0 = jnp.where(bits < 0.5, metric[..., None], -big)
         llr = jnp.max(m1, axis=-2) - jnp.max(m0, axis=-2)
         llrs.append(jnp.clip(llr, -llr_clip, llr_clip))
-    return jnp.stack(llrs, axis=-2)  # [..., streams, m]
+    out = jnp.stack(llrs, axis=-2)  # [..., streams(permuted), m]
+    if order is not None:
+        # undo the detection-order permutation: out[perm_pos] belongs
+        # to original stream order[perm_pos]
+        inv = jnp.argsort(order, axis=-1)
+        out = jnp.take_along_axis(out, inv[..., :, None], axis=-2)
+    return out
 
 
 # ---------------------------------------------------------------------------
