@@ -81,6 +81,10 @@ class Parameters:
                 if hasattr(self, ev):
                     setattr(self, name, getattr(self, ev))
 
+        # attributes with defaults that configs normally omit (must be
+        # set BEFORE override validation so they are overridable)
+        self.cir_max_records = -1  # DatasetChannel size cap (site sweep)
+
         # caller overrides (applied before any component is built), e.g.
         # channel_type for the reference's 1-UE-on-TDL eval slices
         # (reference nrx_rt config comments / evaluate.py:174-180)

@@ -108,8 +108,21 @@ def main():
         chunk_cache[size] = (step, opt)
         return chunk_cache[size]
 
+    # store the REAL record count for full-dataset cells (the reference
+    # sweep keys carry actual dataset sizes, not a -1 sentinel); the
+    # TRAIN partition is what fine-tuning consumes
+    from neural_rx_tpu.channel.dataset import load_cir_records
+    import configparser
+    cp = configparser.ConfigParser(inline_comment_prefixes=("#",))
+    cp.read(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "neural_rx_tpu", "configs",
+        args.config + ".cfg"))
+    train_file = cp["training"]["tfrecord_filename"].strip().strip("'\"")
+    full_n = load_cir_records(os.path.join("data", train_file))[0].shape[0]
+
     for iters, size in cells:
-        key = ("Neural Receiver", 2, iters, size)
+        key_size = full_n if (size < 0 and iters > 0) else max(size, 0)
+        key = ("Neural Receiver", 2, iters, key_size)
         if key in done:
             print(f"skip {key} (stored)", flush=True)
             continue
