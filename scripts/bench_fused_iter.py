@@ -100,13 +100,28 @@ def main():
 
     y1 = jnp.asarray(np.random.default_rng(0).normal(
         size=(1, 4, 14, sc, 2)), jnp.float32)
+    # raised-budget compiles (whole-grid kernels need a bigger scoped
+    # vmem): NRX_COMPILER_OPTS="xla_tpu_scoped_vmem_limit_kib=65536".
+    # XLA_FLAGS cannot carry this flag (client-side parse aborts on
+    # backend-only flags); per-executable compiler_options work.
+    copts = None
+    if os.environ.get("NRX_COMPILER_OPTS"):
+        copts = dict(kv.split("=", 1)
+                     for kv in os.environ["NRX_COMPILER_OPTS"].split(","))
+
+    def run_once(fn, y):
+        if copts:
+            return np.asarray(jax.jit(fn).lower(y).compile(
+                compiler_options=copts)(y), np.float32)
+        return np.asarray(jax.jit(fn)(y), np.float32)
+
     results = {}
     out_ref = None
     for name, over in variants:
         cfg = dataclasses.replace(rx.cgnn_cfg, **over)
         fn = make_fn(cfg, 1)
         try:
-            out = np.asarray(jax.jit(fn)(y1), np.float32)
+            out = run_once(fn, y1)
         except Exception as e:  # Mosaic lowering failures are per-variant
             print(f"{name}: FAILED {type(e).__name__}: "
                   f"{str(e)[:300]}", flush=True)
