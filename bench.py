@@ -103,22 +103,69 @@ def main():
                                         length=50, reps=5)
     slots_per_s_b16 = 16.0 / (dev_b16_ms * 1e-3)
 
-    print(json.dumps({
-        "metric": "nrx_rt_slot_device_time_p50_132prb_b1",
-        "value": round(dev_ms, 4), "unit": "ms",
-        "vs_baseline": round(BASELINE_MS / dev_ms, 2),
-        "extra": {
-            "dispatch_sync_p50_ms": round(disp_p50, 4),
-            "dispatch_sync_p99_ms": round(disp_p99, 4),
-            "tunnel_rtt_ms": round(rtt_ms, 4),
-            "slots_per_s_pipelined": round(slots_per_s, 1),
-            "batch16_device_ms_per_call": round(dev_b16_ms, 4),
-            "slots_per_s_batch16": round(slots_per_s_b16, 1),
-            "compile_s": round(compile_s, 1),
-            "baseline": "RTX3090 TRT fp16 1.275 ms median GPU compute",
-            "method": "data-dependency-chained lax.scan (no pipelining)",
-        },
-    }))
+    extra = {
+        "dispatch_sync_p50_ms": round(disp_p50, 4),
+        "dispatch_sync_p99_ms": round(disp_p99, 4),
+        "tunnel_rtt_ms": round(rtt_ms, 4),
+        "slots_per_s_pipelined": round(slots_per_s, 1),
+        "batch16_device_ms_per_call": round(dev_b16_ms, 4),
+        "slots_per_s_batch16": round(slots_per_s_b16, 1),
+        "compile_s": round(compile_s, 1),
+        "baseline": "RTX3090 TRT fp16 1.275 ms median GPU compute",
+        "method": "data-dependency-chained lax.scan (no pipelining)",
+    }
+
+    def emit(ms, ex):
+        print(json.dumps({
+            "metric": "nrx_rt_slot_device_time_p50_132prb_b1",
+            "value": round(ms, 4), "unit": "ms",
+            "vs_baseline": round(BASELINE_MS / ms, 2),
+            "extra": ex,
+        }), flush=True)
+
+    # SAFE line first (default engine config, stock compile budget): if
+    # anything below is cut off by an outer timeout, this line stands
+    emit(dev_ms, extra)
+
+    # Then try the round-4 A/B winners (whole-grid halo-free iteration
+    # at batch 1 under a 64 MB scoped-vmem budget, w_blk=192 at batch
+    # 16; logs/round4_perf.log 2026-08-20). The whole-grid executable
+    # compiles for ~8 min, so it runs in a KILLABLE subprocess with a
+    # hard timeout; on success a second (improved) JSON line replaces
+    # the safe one for tail-parsing consumers.
+    import os
+    import subprocess
+    import sys
+    if os.environ.get("NRX_BENCH_NO_BEST") == "1":
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "scripts", "bench_deploy_best.py")],
+            env=dict(
+                os.environ,
+                NRX_DEPLOY_WBLK_B1="4096",
+                NRX_DEPLOY_WBLK_B16="192",
+                NRX_COMPILER_OPTS="xla_tpu_scoped_vmem_limit_kib=65536",
+            ),
+            capture_output=True, text=True, timeout=1100)
+        best = json.loads(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return
+    if not best.get("dev_ms"):
+        return
+    if best["dev_ms"] < dev_ms:
+        ex = dict(extra)
+        ex["engine"] = ("whole-grid fused iteration (64MB scoped "
+                        "vmem), b16 fiter_w192")
+        ex["fallback_engine_ms"] = round(dev_ms, 4)
+        ex["compile_s"] = round(best.get("compile_s", 0.0), 1)
+        if best.get("dev_b16_ms"):
+            ex["batch16_device_ms_per_call"] = round(best["dev_b16_ms"], 4)
+            ex["slots_per_s_batch16"] = round(
+                16e3 / best["dev_b16_ms"], 1)
+        emit(best["dev_ms"], ex)
 
 
 if __name__ == "__main__":
