@@ -90,6 +90,83 @@ def _qr_small(h, max_unrolled: int = 4):
     return q, r
 
 
+def _ml_maxlog_detect(y, h, no, points, labels, n_streams, llr_clip):
+    """Exact max-log detection over the full candidate cross-product
+    (1 or 2 streams). y: [..., ant]; h: [..., ant, S] -> [..., S, m].
+
+    Constant-per-RE |y|^2 terms cancel in LLR differences, so the
+    metric is -2 Re<z, c> + c^H G c with z = H^H y, G = H^H H. For 2
+    streams the n_pts^2 candidates are swept by a lax.scan over the
+    stream-0 symbol carrying running per-bit maxima and a per-c1 best
+    row — O(REs * n_pts) memory instead of materializing the
+    [REs, n_pts^2, ant] cross-product (which would be ~8 GB at the
+    132-PRB eval shape).
+    """
+    n_pts = points.shape[0]
+    m = labels.shape[-1]
+    no = jnp.maximum(jnp.asarray(no, jnp.float32), 1e-12)
+    big = jnp.asarray(1e9, jnp.float32)
+
+    if n_streams == 1:
+        # d(c) - |y|^2 = -2 Re(y^H h c) + |h|^2 |c|^2
+        z = jnp.einsum("...a,...as->...s", jnp.conj(y), h)[..., 0]
+        g = jnp.sum(jnp.abs(h[..., 0]) ** 2, axis=-1)
+        d = (-2.0 * (z[..., None] * points).real
+             + g[..., None] * (jnp.abs(points) ** 2))
+        met = -d / no[..., None]
+        b_t = labels.T[(None,) * (met.ndim - 1)]
+        m1 = jnp.max(jnp.where(b_t > 0.5, met[..., None, :], -big), -1)
+        m0 = jnp.max(jnp.where(b_t < 0.5, met[..., None, :], -big), -1)
+        return jnp.clip(m1 - m0, -llr_clip, llr_clip)[..., None, :]
+
+    assert n_streams == 2
+    z = jnp.einsum("...as,...a->...s", jnp.conj(h), y)  # [..., 2]
+    gram = jnp.einsum("...as,...at->...st", jnp.conj(h), h)  # [..., 2, 2]
+    g00 = gram[..., 0, 0].real
+    g11 = gram[..., 1, 1].real
+    g01 = gram[..., 0, 1]  # h0^H h1
+    p_abs2 = jnp.abs(points) ** 2  # [P]
+
+    # terms independent of c0: [..., P] over c1
+    v1 = (g11[..., None] * p_abs2
+          - 2.0 * (jnp.conj(z[..., 1:2]) * points).real)
+
+    bits_f = labels  # [P, m] float
+
+    def step(carry, s0):
+        m1_0, m0_0, best1 = carry
+        c0 = points[s0]
+        a0 = (g00 * jnp.abs(c0) ** 2
+              - 2.0 * (jnp.conj(z[..., 0]) * c0).real)  # [...]
+        cross = 2.0 * (g01[..., None] * jnp.conj(c0)
+                       * points).real  # [..., P]
+        d = a0[..., None] + v1 + cross  # [..., P] over c1
+        met = -d / no[..., None]
+        # per-c1 best over all s0 (for stream-1 LLRs)
+        best1 = jnp.maximum(best1, met)
+        # stream-0 bit maxima: best over c1 for this s0
+        mbest = jnp.max(met, axis=-1)  # [...]
+        b0 = bits_f[s0]  # [m]
+        upd1 = jnp.where(b0[(None,) * mbest.ndim] > 0.5,
+                         mbest[..., None], -big)
+        upd0 = jnp.where(b0[(None,) * mbest.ndim] < 0.5,
+                         mbest[..., None], -big)
+        return (jnp.maximum(m1_0, upd1), jnp.maximum(m0_0, upd0),
+                best1), None
+
+    shape = y.shape[:-1]
+    init = (jnp.full(shape + (m,), -big), jnp.full(shape + (m,), -big),
+            jnp.full(shape + (n_pts,), -big))
+    (m1_0, m0_0, best1), _ = jax.lax.scan(step, init,
+                                          jnp.arange(n_pts))
+    llr0 = jnp.clip(m1_0 - m0_0, -llr_clip, llr_clip)
+    b_t = labels.T[(None,) * (best1.ndim - 1)]  # [..., m, P]
+    m1_1 = jnp.max(jnp.where(b_t > 0.5, best1[..., None, :], -big), -1)
+    m0_1 = jnp.max(jnp.where(b_t < 0.5, best1[..., None, :], -big), -1)
+    llr1 = jnp.clip(m1_1 - m0_1, -llr_clip, llr_clip)
+    return jnp.stack([llr0, llr1], axis=-2)  # [..., 2, m]
+
+
 def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
                  llr_clip: float = 20.0):
     """K-Best MIMO detection with max-log LLRs from the survivor list.
@@ -102,11 +179,25 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
     last stream up, expand every survivor with all constellation points,
     keep the k best partial Euclidean distances. Bits lacking a
     counter-hypothesis in the final list get +/- llr_clip.
+
+    Small search spaces (n_pts**n_streams <= 4096, i.e. any <=2-stream
+    case up to 64-QAM) use the EXACT max-log over all candidates
+    instead: the 64-survivor list starves 64-QAM bit LLRs of
+    counter-hypotheses (measured round 4: coded BLER 0.083 vs 0.000
+    exact at 11 dB on 2x4 Rayleigh; the committed-curve gap vs the
+    reference's detector was +1.0 dB while the hard decisions already
+    matched exhaustive ML) — and the full candidate cross-product is
+    one MXU-friendly batched matmul, cheaper on TPU than the
+    sort-heavy list recursion it replaces.
     """
     points = jnp.asarray(qam_points(num_bits_per_symbol))
     labels = jnp.asarray(bit_labels(num_bits_per_symbol))  # [P, m]
     n_pts = points.shape[0]
     n_streams = h.shape[-1]
+
+    if n_streams <= 2 and n_pts <= 64:
+        return _ml_maxlog_detect(y, h, no, points, labels, n_streams,
+                                 llr_clip)
 
     # sorted detection order (standard K-Best / SQRD): permute columns
     # so the STRONGEST stream sits last and is detected at the root
