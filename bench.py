@@ -151,7 +151,14 @@ def main():
             ),
             capture_output=True, text=True, timeout=1100)
         best = json.loads(r.stdout.strip().splitlines()[-1])
-    except Exception:
+    except Exception as e:
+        # diagnostics on stderr only (stdout keeps the json-line
+        # contract); the safe line above already stands
+        out = getattr(locals().get("r"), "stdout", "")
+        err = getattr(locals().get("r"), "stderr", "")
+        print(f"best-engine attempt failed: {type(e).__name__}: "
+              f"{str(e)[:200]}\nchild stdout tail: {out[-400:]}\n"
+              f"child stderr tail: {err[-800:]}", file=sys.stderr)
         return
     if not best.get("dev_ms"):
         return
