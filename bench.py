@@ -147,6 +147,7 @@ def main():
                 os.environ,
                 NRX_DEPLOY_WBLK_B1="4096",
                 NRX_DEPLOY_WBLK_B16="192",
+                NRX_SAFE_MS=str(dev_ms),
                 NRX_COMPILER_OPTS="xla_tpu_scoped_vmem_limit_kib=65536",
             ),
             capture_output=True, text=True, timeout=1100)
@@ -164,8 +165,9 @@ def main():
         return
     if best["dev_ms"] < dev_ms:
         ex = dict(extra)
-        ex["engine"] = ("whole-grid fused iteration (64MB scoped "
-                        "vmem), b16 fiter_w192")
+        ex["engine"] = ("batch-1: whole-grid fused iteration (64MB "
+                        "scoped vmem); batch-16 numbers above are the "
+                        "default engine's")
         ex["fallback_engine_ms"] = round(dev_ms, 4)
         ex["compile_s"] = round(best.get("compile_s", 0.0), 1)
         if best.get("dev_b16_ms"):

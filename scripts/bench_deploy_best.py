@@ -1,10 +1,20 @@
-"""Child process for bench.py's best-engine attempt: measures the
-deployed entry() surface with the round-4 A/B winner config
-(NRX_DEPLOY_WBLK_B1/_B16 + NRX_COMPILER_OPTS set by the parent) and
-prints one JSON line {dev_ms, dev_b16_ms, compile_s}. Runs in its own
-process so the parent can enforce a hard timeout on the ~8-minute
-whole-grid compile (an in-flight axon remote compile is not
-interruptible by signals from inside the process)."""
+"""Child process for bench.py's best-engine attempt.
+
+Measures the whole-grid deployed engine with ONE expensive compile:
+the standard chained metric needs a short chain only to cancel the
+dispatch/transfer overhead OH, and OH is engine-independent, so the
+short chain runs the cheap DEFAULT engine instead:
+
+    med(long_best)  = OH + L * t_best
+    med(short_safe) = OH + 1 * t_safe
+    t_best = (med(long_best) - med(short_safe) + t_safe) / L
+
+with t_safe = the parent's already-measured default-engine ms/slot
+(NRX_SAFE_MS); its error enters divided by L. The whole-grid compile
+runs ~8.5 min on v5e — compiling both chain lengths (as
+chained_device_time_ms does) blew the parent's timeout, which is why
+this exists. Prints one JSON line {dev_ms, compile_s}.
+"""
 
 import json
 import os
@@ -14,25 +24,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+L = 100
+
 
 def main():
     import numpy as np
+    import jax
     import jax.numpy as jnp
-    import __graft_entry__ as g
-    from neural_rx_tpu.utils.profiling import chained_device_time_ms
 
-    fn, (params, y_example) = g.entry()
+    t_safe = float(os.environ["NRX_SAFE_MS"])
+    copts = dict(kv.split("=", 1)
+                 for kv in os.environ["NRX_COMPILER_OPTS"].split(","))
+
+    # fn_best: env-selected engine (whole-grid); fn_safe: default
+    import __graft_entry__ as g
+    fn_best, (params, y_example) = g.entry()
+    env_keys = ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16")
+    saved = {k: os.environ.pop(k, None) for k in env_keys}
+    fn_safe, _ = g.entry()
+
+    def chain(fn, n):
+        def body(y, _):
+            out = fn(params, y)
+            return y + 1e-6 * jnp.mean(out.astype(jnp.float32)), ()
+
+        def run(y):
+            y_out, _ = jax.lax.scan(body, y, None, length=n)
+            return jnp.mean(y_out)
+        return run
+
     t0 = time.time()
-    dev_ms = chained_device_time_ms(lambda y: fn(params, y), y_example)
+    short_safe = jax.jit(chain(fn_safe, 1)).lower(y_example).compile()
+    long_best = jax.jit(chain(fn_best, L)).lower(y_example).compile(
+        compiler_options=copts)
     compile_s = time.time() - t0
-    out = {"dev_ms": round(dev_ms, 4), "compile_s": round(compile_s, 1)}
-    try:
-        yb = jnp.tile(y_example, (16, 1, 1, 1, 1))
-        out["dev_b16_ms"] = round(chained_device_time_ms(
-            lambda y: fn(params, y), yb, length=50, reps=5), 4)
-    except Exception as e:
-        out["b16_error"] = str(e)[:200]
-    print(json.dumps(out), flush=True)
+    np.asarray(short_safe(y_example))
+    np.asarray(long_best(y_example))
+
+    def med(f, reps=10):
+        ts = []
+        for _ in range(reps):
+            t1 = time.perf_counter()
+            np.asarray(f(y_example))
+            ts.append(time.perf_counter() - t1)
+        return float(np.median(ts))
+
+    delta_ms = (med(long_best) - med(short_safe)) * 1e3
+    dev_ms = (delta_ms + t_safe) / L
+    print(json.dumps({"dev_ms": round(dev_ms, 4),
+                      "compile_s": round(compile_s, 1)}), flush=True)
+    del saved
 
 
 if __name__ == "__main__":

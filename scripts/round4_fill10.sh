@@ -30,7 +30,7 @@ now=$(date -u +%s)
 if [ $((now + 1500)) -lt "$DEADLINE" ]; then
   echo "=== $(date -u '+%F %H:%M:%S') bench_deploy_best debug" >> "$LOG"
   PYTHONUNBUFFERED=1 timeout 1200 env \
-      NRX_DEPLOY_WBLK_B1=4096 NRX_DEPLOY_WBLK_B16=192 \
+      NRX_DEPLOY_WBLK_B1=4096 NRX_DEPLOY_WBLK_B16=192 NRX_SAFE_MS=0.6625 \
       NRX_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=65536 \
       python scripts/bench_deploy_best.py >> "$LOG" 2>&1
   echo "--- exit $? at $(date -u '+%F %H:%M:%S')" >> "$LOG"
