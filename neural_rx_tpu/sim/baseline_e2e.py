@@ -105,7 +105,7 @@ class BaselineE2EModel(E2EModel):
             sym_sc = np.where(mask[dmrs_syms[0]])[0]
             sel = np.searchsorted(sym_sc, self.interp._pilot_sc[tx])
             h_pilots[tx] = hp[..., sel]
-        return self.interp(h_pilots)
+        return self.interp(h_pilots, no=no)
 
     # -- full receiver ---------------------------------------------------
     def __call__(self, params, key, batch_size: int, ebno_db,
