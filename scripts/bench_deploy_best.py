@@ -36,12 +36,14 @@ def main():
     copts = dict(kv.split("=", 1)
                  for kv in os.environ["NRX_COMPILER_OPTS"].split(","))
 
-    # fn_best: env-selected engine (whole-grid); fn_safe: default
+    # fn_best: env-selected engine (whole-grid); fn_safe: default.
+    # NOTE the engine env vars are read INSIDE fn at TRACE time, so
+    # the best chain must be LOWERED while they are still set (the
+    # first version popped them before lowering and silently measured
+    # the safe engine twice — caught by the fill10 on-chip debug run:
+    # dev_ms ~= safe and compile_s 12s instead of ~500s).
     import __graft_entry__ as g
     fn_best, (params, y_example) = g.entry()
-    env_keys = ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16")
-    saved = {k: os.environ.pop(k, None) for k in env_keys}
-    fn_safe, _ = g.entry()
 
     def chain(fn, n):
         def body(y, _):
@@ -54,10 +56,14 @@ def main():
         return run
 
     t0 = time.time()
-    short_safe = jax.jit(chain(fn_safe, 1)).lower(y_example).compile()
     long_best = jax.jit(chain(fn_best, L)).lower(y_example).compile(
         compiler_options=copts)
     compile_s = time.time() - t0
+
+    for k in ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16"):
+        os.environ.pop(k, None)
+    fn_safe, _ = g.entry()
+    short_safe = jax.jit(chain(fn_safe, 1)).lower(y_example).compile()
     np.asarray(short_safe(y_example))
     np.asarray(long_best(y_example))
 
@@ -73,7 +79,6 @@ def main():
     dev_ms = (delta_ms + t_safe) / L
     print(json.dumps({"dev_ms": round(dev_ms, 4),
                       "compile_s": round(compile_s, 1)}), flush=True)
-    del saved
 
 
 if __name__ == "__main__":
