@@ -119,7 +119,11 @@ class BaselineE2EModel(E2EModel):
             keys[1], (batch_size, p.max_num_tx,
                       self.transmitters[mcs_arr_eval_idx].tb_size))
         x = self.transmitters[mcs_arr_eval_idx](bits)
-        no = self._noise_variance(ebno_db)
+        # rate-adjusted Eb/No -> no with the EVALUATED MCS's bits/rate
+        # (the default mcs_idx=0 here put multi-MCS-config baseline
+        # rows at the wrong SNR: masking-config 16QAM baselines
+        # measured ~+2 dB even with perfect CSI, round 4)
+        no = self._noise_variance(ebno_db, mcs_arr_eval_idx)
         y, h = self._channel(keys[4], batch_size, x, no)
 
         h_hat = self._estimate(y, h, no)  # [b, ant, T, 14, sc]
