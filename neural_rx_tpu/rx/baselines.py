@@ -311,7 +311,8 @@ class LMMSEChannelInterpolator:
     # 64-QAM LMMSE+K-Best curve, +1.7 dB vs the reference whose
     # interpolator is regularized per-eval); the caller's actual no
     # selects the nearest bank at trace time.
-    NOISE_GRID = (0.5, 0.2, 0.08, 0.032, 0.0125, 0.005)
+    NOISE_GRID = (0.8, 0.5, 0.32, 0.2, 0.125, 0.08, 0.05, 0.032, 0.02,
+                  0.0125, 0.008, 0.005)
 
     def __init__(self, resource_grid, cov_freq: np.ndarray,
                  cov_time: np.ndarray, cov_space: np.ndarray,
