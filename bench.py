@@ -1,7 +1,9 @@
 """Single-chip benchmark: nrx_rt per-slot inference latency.
 
 Measures the deployed receiver surface (LS estimate + 2-iteration CGNN +
-LLR readout) at the reference's real-time operating point: batch 1,
+LLR readout + chest readout, returning (llr, h_hat) exactly like the
+reference's exported engine, neural_rx.py:1796-1812) at the reference's
+real-time operating point: batch 1,
 132 PRBs (1584 subcarriers), 14 OFDM symbols, 4 rx antennas, 2 users,
 bf16 compute — the same scope as the reference's TensorRT fp16 engine
 (BASELINE.md: mean 1.275 ms GPU compute on RTX 3090, ~1 ms target).
@@ -64,9 +66,13 @@ def main():
         return
     fn, (params, y_example) = g.entry()
 
-    # single-slot scalar-output fn: full compute, 4-byte transfer
+    # single-slot scalar-output fn: full compute, 4-byte transfer.
+    # Sum over EVERY output leaf — the engine returns (llr, h_hat) like
+    # the reference's (neural_rx.py:1796-1812); consuming only one would
+    # let XLA DCE the other readout out of the timed executable.
     fn_scalar = jax.jit(
-        lambda p, y: jnp.sum(fn(p, y).astype(jnp.float32)))
+        lambda p, y: sum(jnp.sum(leaf.astype(jnp.float32))
+                         for leaf in jax.tree.leaves(fn(p, y))))
 
     t0 = time.time()
     np.asarray(fn_scalar(params, y_example))

@@ -40,7 +40,9 @@ stats = measure_latency(compiled, params, inputs, iters=20)
 print("engine latency:", stats)
 
 ev = AerialDataEvaluator(model)
-out = ev(compiled(params, *inputs), labels)
+# the engine returns (llr, h_hat) like the reference's exported engine
+# (neural_rx.py:1796-1812); the evaluator consumes the LLR half
+out = ev(compiled(params, *inputs)[0], labels)
 print("engine output metrics (untrained weights):", out)
 
 if args.smoke:
@@ -54,7 +56,7 @@ if args.smoke:
     bers, crcs = [], []
     for s in range(4):  # the engine is compiled for batch 1
         ins, labs = gen(jax.random.PRNGKey(10 + s), 1, 20.0)
-        m = ev(compiled(trained, *ins), labs)
+        m = ev(compiled(trained, *ins)[0], labs)
         bers.append(m["coded_ber"])
         crcs.append(m["crc_pass_rate"])
     out_t = {"coded_ber": float(np.mean(bers)),

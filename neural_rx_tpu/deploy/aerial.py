@@ -14,10 +14,12 @@ inputs
                                  (LS estimates at nonzero pilot REs,
                                   FOCC not yet removed)
   dmrs_port_mask              : [b, num_layers] active-port mask
-output
-  llr : [b, num_layers, num_subcarriers, num_symbols, num_bits]
-        SIGN-FLIPPED (llr = -log(p1/p0)), the Aerial convention
-        (reference flips at neural_rx.py:1810).
+outputs (the reference engine returns BOTH, neural_rx.py:1796-1812)
+  llr   : [b, num_layers, num_subcarriers, num_symbols, num_bits]
+          SIGN-FLIPPED (llr = -log(p1/p0)), the Aerial convention
+          (reference flips at neural_rx.py:1810).
+  h_hat : [b, num_layers, num_subcarriers, num_symbols, 2*num_rx_ant]
+          refined channel estimate from the CGNN chest readout.
 
 Instead of TensorRT dynamic-shape profiles, shapes are static per PRB
 bucket; `deploy.aot.compile_buckets` AOT-compiles one executable per
@@ -171,10 +173,15 @@ class AerialNRX:
         else:
             num_valid_sc = jnp.asarray(num_valid_sc, jnp.int32)
             pe = self._dynamic_pe(num_valid_sc)
-        llrs, _ = cgnn_apply(
+        llrs, h_hats = cgnn_apply(
             params["cgnn"], self.cfg, y_in, pe, h_in,
             dmrs_port_mask.astype(jnp.float32), mcs_mask,
             num_it=self.num_it, dtype=self.dtype, sc_valid=num_valid_sc)
         llr = llrs[-1][self.mcs_idx]  # [b, T, sym, sc, bits]
-        # Aerial order [b, T, sc, sym, bits], sign-flipped
-        return -jnp.transpose(llr, (0, 1, 3, 2, 4))
+        h_hat = h_hats[-1]            # [b, T, sym, sc, 2*ant]
+        # Aerial order [b, T, sc, sym, ch], sign-flipped LLRs; the
+        # engine returns BOTH tensors like the reference's exported
+        # engine (NeuralReceiverONNX.forward returns (llr, h_hat),
+        # reference neural_rx.py:1796-1812)
+        return (-jnp.transpose(llr, (0, 1, 3, 2, 4)),
+                jnp.transpose(h_hat, (0, 1, 3, 2, 4)))

@@ -113,11 +113,11 @@ class BucketedReceiver:
                 out = out.at[:, idx[tx], tx].set(h[:, :, tx])
             return out
 
-        llr = self.compiled[b](self.params, yr, yi, scatter(h_hat_real),
-                               scatter(h_hat_imag), dmrs_port_mask,
-                               np.int32(valid_sc))
-        # Aerial output layout [b, T, sc, sym, bits] -> crop the pad
-        return llr[:, :, :valid_sc]
+        llr, h_hat = self.compiled[b](
+            self.params, yr, yi, scatter(h_hat_real),
+            scatter(h_hat_imag), dmrs_port_mask, np.int32(valid_sc))
+        # Aerial output layout [b, T, sc, sym, ch] -> crop the pad
+        return llr[:, :, :valid_sc], h_hat[:, :, :valid_sc]
 
 
 def serialize_engine(fn, args, path: str) -> int:

@@ -43,27 +43,36 @@ from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
 
 
 def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
-                 lp_stencil, readout, nblk, valid_ref, act_ref, *refs):
+                 lp_stencil, readout, chest, nblk, valid_ref, act_ref,
+                 *refs):
     """refs layout: per user t: (left_t, mid_t, right_t) s blocks; then
     per user t: (left, mid, right) pe blocks (pe is per-user — each
     user has its own pilot pattern); then agg weights (w1, b1, w2, b2);
     then update-stack (dw, pw, b) per layer; if readout, then the LLR
-    readout MLP weights (rw1, rb1, rw2, rb2); then num_tx out refs
-    (next states, or the per-user LLR grids when readout — the final
-    iteration's state never leaves VMEM in that mode).
+    readout MLP weights (rw1, rb1, rw2, rb2) and, if chest, the chest
+    readout MLP weights (cw1, cb1, cw2, cb2); then the out refs —
+    num_tx next states, or when readout the num_tx per-user LLR grids
+    followed (if chest) by num_tx per-user chest grids: the final
+    iteration's state never leaves VMEM in that mode, and BOTH readouts
+    run on it in-kernel (the reference's deployed engine returns
+    (llr, h_hat), reference neural_rx.py:1796-1812).
     act_ref (SMEM [batch, num_tx], whole array — a (1, T) block would
     violate the (8, 128) block rule at batch > 1): active_tx, indexed by
     program_id(0). valid_ref (SMEM [2]): [lo, hi) valid column range.
     nblk: 3 = overlap-save (left/mid/right per user), 1 = whole-grid
     residency (halo == 0; the VMEM buffer edge IS the grid edge, so the
     stencil's concat-zero-pad gives SAME-conv semantics directly)."""
+    n_out = num_tx * (2 if (readout and chest) else 1)
     s_blocks = refs[:nblk * num_tx]
     pe_blocks = refs[nblk * num_tx:2 * nblk * num_tx]
     agg_refs = refs[2 * nblk * num_tx:2 * nblk * num_tx + 4]
-    out_refs = refs[-num_tx:]
-    wrefs = refs[2 * nblk * num_tx + 4:-num_tx]
-    ro_refs = None
+    out_refs = refs[-n_out:]
+    wrefs = refs[2 * nblk * num_tx + 4:-n_out]
+    ro_refs = ch_refs = None
     if readout:
+        if chest:
+            ch_refs = wrefs[-4:]
+            wrefs = wrefs[:-4]
         ro_refs = wrefs[-4:]
         wrefs = wrefs[:-4]
 
@@ -147,23 +156,34 @@ def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
         for t in range(num_tx):
             out_refs[t][0] = u[t] + s_blocks[nblk * t + mid][0]
         return
-    # fused ReadoutLLRs on the residual states (per-RE MLP, one hidden
-    # layer, all users in one matmul): the final state stays in VMEM
+    # fused readouts on the residual states (per-RE MLPs, one hidden
+    # layer, all users in one matmul): the final state stays in VMEM.
+    # Both ReadoutLLRs and (when chest) ReadoutChEst run here — the
+    # reference's deployed engine computes and returns both
+    # (neural_rx.py:1796-1812).
     s_new = u + jnp.stack([s_blocks[nblk * t + mid][0]
                            for t in range(num_tx)], axis=0)
     x = s_new.reshape(num_tx * h * w_blk, d_s)
-    r = jax.lax.dot_general(
-        x, ro_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    r = jnp.maximum(r + ro_refs[1][:].astype(jnp.float32)[None, :],
-                    0.0).astype(out_dtype)
-    r = jax.lax.dot_general(
-        r, ro_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    r = r + ro_refs[3][:].astype(jnp.float32)[None, :]
-    r = r.reshape(num_tx, h, w_blk, -1).astype(out_dtype)
+
+    def ro_mlp(w_refs):
+        r = jax.lax.dot_general(
+            x, w_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = jnp.maximum(r + w_refs[1][:].astype(jnp.float32)[None, :],
+                        0.0).astype(out_dtype)
+        r = jax.lax.dot_general(
+            r, w_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = r + w_refs[3][:].astype(jnp.float32)[None, :]
+        return r.reshape(num_tx, h, w_blk, -1).astype(out_dtype)
+
+    r = ro_mlp(ro_refs)
     for t in range(num_tx):
         out_refs[t][0] = r[t]
+    if chest:
+        c = ro_mlp(ch_refs)
+        for t in range(num_tx):
+            out_refs[num_tx + t][0] = c[t]
 
 
 def _flatten_dense(p, dtype):
@@ -187,7 +207,7 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                           num_tx: int, w_blk: int,
                           interpret: bool | None = None,
                           mxu: bool = False, lp_stencil: bool = False,
-                          readout_p=None):
+                          readout_p=None, chest_p=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
@@ -228,6 +248,10 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
         ro_ops, ro_specs = _flatten_dense(readout_p, dtype)
         upd_ops = upd_ops + ro_ops
         upd_specs = upd_specs + ro_specs
+        if chest_p is not None:
+            ch_ops, ch_specs = _flatten_dense(chest_p, dtype)
+            upd_ops = upd_ops + ch_ops
+            upd_specs = upd_specs + ch_specs
 
     def s_blk(tt, off):
         return pl.BlockSpec(
@@ -260,17 +284,20 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
 
     d_out = (layers[-1]["pw"].shape[1] if readout_p is None
              else readout_p["out"]["w"].shape[1])
-    out_specs = [pl.BlockSpec((1, h, w_blk, d_out),
+    d_outs = [d_out] * num_tx
+    if readout_p is not None and chest_p is not None:
+        d_outs += [chest_p["out"]["w"].shape[1]] * num_tx
+    out_specs = [pl.BlockSpec((1, h, w_blk, d),
                               lambda i, wb: (i, 0, wb, 0),
                               memory_space=pltpu.VMEM)
-                 for _ in range(num_tx)]
-    out_shapes = [jax.ShapeDtypeStruct((b, h, w_pad, d_out), dtype)
-                  for _ in range(num_tx)]
+                 for d in d_outs]
+    out_shapes = [jax.ShapeDtypeStruct((b, h, w_pad, d), dtype)
+                  for d in d_outs]
 
     kernel = functools.partial(_iter_kernel, num_tx,
                                len(upd_p["hidden"]), halo, w_blk, dtype,
                                mxu, lp_stencil, readout_p is not None,
-                               len(offs))
+                               chest_p is not None, len(offs))
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_wb),
@@ -279,8 +306,11 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
         out_shape=out_shapes,
         interpret=interpret,
     )(*operands)
-    out = jnp.stack(outs, axis=1)  # [b, T, h, w_pad, d_out]
-    return out[:, :, :, :w, :]
+    llr = jnp.stack(outs[:num_tx], axis=1)[:, :, :, :w, :]
+    if readout_p is not None and chest_p is not None:
+        ch = jnp.stack(outs[num_tx:], axis=1)[:, :, :, :w, :]
+        return llr, ch
+    return llr
 
 
 def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
@@ -288,7 +318,7 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
                     interpret: bool | None = None,
                     mxu: bool | None = None,
                     lp_stencil: bool | None = None,
-                    readout_p=None):
+                    readout_p=None, chest_p=None):
     """One fused CGNN iteration: drop-in for
     `_update_state(upd, s, _aggregate_user_states(agg, s, ...), pe, ...)`
     (rx/cgnn.cgnn_apply iteration body).
@@ -300,10 +330,11 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     ReadoutLLRs param tree — the kernel then applies the LLR readout to
     the residual state in VMEM and returns the LLR grid
     [b, T, H, W, num_bits] instead of the state (which never leaves
-    VMEM; the chest readout is SKIPPED — note the reference's deployed
-    engine DOES include it, reference neural_rx.py:1773-1812, so this
-    mode computes strictly less than the reference engine: LLR-only
-    latency benches, not receiver eval)."""
+    VMEM). chest_p (optional, with readout_p): the 1-hidden-layer
+    ReadoutChEst param tree — the kernel also applies the chest readout
+    in-VMEM and returns (llr, h_hat) with h_hat [b, T, H, W, 2*rx_ant],
+    matching the reference's deployed-engine scope (its exported engine
+    computes and returns BOTH, reference neural_rx.py:1796-1812)."""
     b, t, h, w, d_s = s.shape
     if w_blk is None:
         w_blk = int(os.environ.get("NRX_ITER_WBLK", "128"))
@@ -319,9 +350,12 @@ def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
     vr, _ = _valid_range(sc_valid, w)
     if readout_p is not None:
         assert len(readout_p["hidden"]) == 1, "fused readout: 1 hidden"
+    if chest_p is not None:
+        assert readout_p is not None, "chest_p requires readout_p"
+        assert len(chest_p["hidden"]) == 1, "fused chest: 1 hidden"
     return _fused_iteration_impl(it_params["agg"], it_params["update"],
                                  s, pe, active_tx, vr, num_tx=t,
                                  w_blk=w_blk, interpret=interpret,
                                  mxu=_mxu_default(mxu),
                                  lp_stencil=_lp_default(lp_stencil),
-                                 readout_p=readout_p)
+                                 readout_p=readout_p, chest_p=chest_p)

@@ -168,7 +168,7 @@ def _ml_maxlog_detect(y, h, no, points, labels, n_streams, llr_clip):
 
 
 def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
-                 llr_clip: float = 20.0):
+                 llr_clip: float = 20.0, exact: bool | None = None):
     """K-Best MIMO detection with max-log LLRs from the survivor list.
 
     y: [..., ant]; h: [..., ant, streams]; returns llr
@@ -180,9 +180,14 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
     keep the k best partial Euclidean distances. Bits lacking a
     counter-hypothesis in the final list get +/- llr_clip.
 
-    Small search spaces (n_pts**n_streams <= 4096, i.e. any <=2-stream
-    case up to 64-QAM) use the EXACT max-log over all candidates
-    instead: the 64-survivor list starves 64-QAM bit LLRs of
+    exact: None (default) auto-selects the EXACT max-log over the full
+    candidate set for small search spaces (n_pts**n_streams <= 4096,
+    i.e. any <=2-stream case up to 64-QAM — a strictly stronger
+    detector than the k-survivor list, and the one every "K-Best"
+    baseline row in results/compare is measured with for those cases;
+    stated there); True forces it (only valid for <=2 streams);
+    False forces the k-survivor list recursion. Rationale for the
+    default: the 64-survivor list starves 64-QAM bit LLRs of
     counter-hypotheses (measured round 4: coded BLER 0.083 vs 0.000
     exact at 11 dB on 2x4 Rayleigh; the committed-curve gap vs the
     reference's detector was +1.0 dB while the hard decisions already
@@ -195,7 +200,10 @@ def kbest_detect(y, h, no, num_bits_per_symbol: int, k: int = 64,
     n_pts = points.shape[0]
     n_streams = h.shape[-1]
 
-    if n_streams <= 2 and n_pts <= 64:
+    if exact is None:
+        exact = n_streams <= 2 and n_pts <= 64
+    if exact:
+        assert n_streams <= 2, "exact max-log supports <=2 streams"
         return _ml_maxlog_detect(y, h, no, points, labels, n_streams,
                                  llr_clip)
 
@@ -362,7 +370,11 @@ class LMMSEChannelInterpolator:
         """h_pilots: per tx -> [b, ant, n_dmrs_syms, n_pilot_sc] LS
         estimates at nonzero pilot REs. no: symbol-level noise variance
         (scalar, may be traced) selecting the nearest precomputed
-        weight bank; None keeps the legacy fixed-0.1 bank.
+        weight bank; None falls back to the construction-time
+        noise_var_est, which is ALSO mapped to the nearest grid bank
+        after pilot-power conversion (e.g. the default 0.1 lands on the
+        0.125 or 0.08 bank depending on pilot power — there is no
+        exact-0.1 bank).
         Returns [b, ant, tx, 14, sc]."""
         rg = self.rg
         if no is None:

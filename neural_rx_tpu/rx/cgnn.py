@@ -355,20 +355,25 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
                      * mm[:, :, idx:idx + 1][..., None, None])
 
     llrs, h_hats = [], []
+    from ..kernels.sepconv_pallas import _mxu_default
+    if (cfg.fused_iteration and not training
+            and _mxu_default(cfg.conv_mxu)
+            and cfg.layer_type_conv == "sepconv"
+            and all(len(p["agg"]["hidden"]) == 1
+                    for p in params["iterations"][:num_it])):
+        # conv_mxu (incl. via NRX_CONV_MXU=1 with cfg.conv_mxu=None) is
+        # unsupported inside the fused kernel (measured slower, plumbing
+        # dropped) — fall back to the XLA path instead of letting the
+        # kernel raise at trace time. Warn once, and only when the
+        # remaining fused-path preconditions hold (otherwise the fused
+        # kernel would be skipped anyway and the warning is noise).
+        import warnings
+        warnings.warn(
+            "fused_iteration requested with conv_mxu resolved "
+            "true; conv_mxu is unsupported in the fused kernel "
+            "— using the XLA/fconv iteration path instead")
     for i in range(num_it):
         it_p = params["iterations"][i]
-        from ..kernels.sepconv_pallas import _mxu_default
-        if (cfg.fused_iteration and not training
-                and _mxu_default(cfg.conv_mxu)):
-            # conv_mxu (incl. via NRX_CONV_MXU=1 with cfg.conv_mxu=None)
-            # is unsupported inside the fused kernel (measured slower,
-            # plumbing dropped) — fall back to the XLA path instead of
-            # letting the kernel raise at trace time
-            import warnings
-            warnings.warn(
-                "fused_iteration requested with conv_mxu resolved "
-                "true; conv_mxu is unsupported in the fused kernel "
-                "— using the XLA/fconv iteration path instead")
         if (cfg.fused_iteration and not training
                 and cfg.layer_type_conv == "sepconv"
                 and not _mxu_default(cfg.conv_mxu)
@@ -381,22 +386,21 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
             if (cfg.fused_readout and i == num_it - 1
                     and not apply_multiloss and cfg.num_mcs == 1
                     and not cfg.var_mcs_masking
-                    and len(params["readout_llrs"][0]["hidden"]) == 1):
-                llr = fused_iteration(
+                    and len(params["readout_llrs"][0]["hidden"]) == 1
+                    and len(params["readout_chest"]["hidden"]) == 1):
+                # BOTH readouts (LLR + chest) run inside the kernel on
+                # the in-VMEM final state — the same scope as the
+                # reference's deployed engine, whose exported graph
+                # computes and returns (llr, h_hat)
+                # (NeuralReceiverONNX.forward, neural_rx.py:1796-1812)
+                llr, h_hat = fused_iteration(
                     it_p, s, pe, active_tx, sc_valid,
                     w_blk=cfg.fused_iter_wblk, mxu=cfg.conv_mxu,
                     lp_stencil=cfg.stencil_lp,
-                    readout_p=params["readout_llrs"][0])
+                    readout_p=params["readout_llrs"][0],
+                    chest_p=params["readout_chest"])
                 llrs.append([llr.astype(jnp.float32)])
-                # chest readout skipped: the state stays in VMEM, so
-                # h_hats is returned EMPTY. NOTE the reference's
-                # deployed engine DOES include the chest readout
-                # (NeuralReceiverONNX.forward returns h_hat from the
-                # CGNN, reference neural_rx.py:1773-1812) — this mode
-                # computes strictly less and is only for LLR-only
-                # latency benches (bench_fused_iter.py); receiver eval
-                # paths that need h_hat must not enable fused_readout
-                # (guarded in neural_rx.py:apply)
+                h_hats.append(h_hat.astype(jnp.float32))
                 return llrs, h_hats
             s = fused_iteration(it_p, s, pe, active_tx, sc_valid,
                                 w_blk=cfg.fused_iter_wblk,

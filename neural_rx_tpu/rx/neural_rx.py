@@ -188,13 +188,14 @@ class NeuralPUSCHReceiver:
             h_in, active_tx, mcs_ue_mask, num_it=num_it,
             training=False, dtype=self.nrx_dtype)
         if not h_hats:
-            # fused_readout returns LLRs only (state never leaves VMEM,
-            # no chest readout) — a bench-only reduced-scope mode; this
-            # eval path returns h_hat and would IndexError below
+            # every cgnn_apply mode (including fused_readout, whose
+            # kernel now runs BOTH in-VMEM readouts and returns
+            # (llr, h_hat) like the reference's deployed engine,
+            # neural_rx.py:1796-1812) populates h_hats; an empty list
+            # means a truncated/failed forward
             raise ValueError(
-                "receiver eval needs the chest readout; disable "
-                "cfg.fused_readout (bench-only LLR mode) for "
-                "NeuralPUSCHReceiver.apply")
+                "cgnn_apply returned no chest readout — receiver eval "
+                "needs h_hat")
         # eval decodes ONE MCS per call: mcs_arr_eval[0] (matching the
         # reference's single-TBDecoder eval simplification,
         # neural_rx.py:1581-1603). Mixed-MCS scenarios go through

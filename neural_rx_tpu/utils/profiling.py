@@ -91,8 +91,12 @@ def chained_device_time_ms(fn, y0, *, length: int = 100, reps: int = 10,
     def make(n):
         def body(y, _):
             out = fn(y)
-            leaf = jax.tree.leaves(out)[0]
-            return y + 1e-6 * jnp.mean(leaf.astype(jnp.float32)), ()
+            # chain on EVERY output leaf: feeding only one back would
+            # let XLA dead-code-eliminate the compute behind the others
+            # (e.g. the chest readout of an (llr, h_hat) engine)
+            acc = sum(jnp.mean(leaf.astype(jnp.float32))
+                      for leaf in jax.tree.leaves(out))
+            return y + 1e-6 * acc, ()
 
         def run(y):
             y_out, _ = jax.lax.scan(body, y, None, length=n)

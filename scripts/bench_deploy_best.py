@@ -48,7 +48,11 @@ def main():
     def chain(fn, n):
         def body(y, _):
             out = fn(params, y)
-            return y + 1e-6 * jnp.mean(out.astype(jnp.float32)), ()
+            # chain every output leaf: the engine returns (llr, h_hat)
+            # and feeding back only one would DCE the other readout
+            acc = sum(jnp.mean(leaf.astype(jnp.float32))
+                      for leaf in jax.tree.leaves(out))
+            return y + 1e-6 * acc, ()
 
         def run(y):
             y_out, _ = jax.lax.scan(body, y, None, length=n)

@@ -100,8 +100,9 @@ class TestAerialTooling:
         inputs, labels = gen(jax.random.PRNGKey(1), 2, 30.0)
         assert inputs[0].shape == (2, 48, 14, 4)
         assert inputs[2].shape[1] == engine.num_pilots
-        llr = engine(params, *inputs)
+        llr, h_hat = engine(params, *inputs)
         assert llr.shape == (2, 2, 48, 14, 4)
+        assert h_hat.shape == (2, 2, 48, 14, 8)  # 2*rx_ant channels
         ev = AerialDataEvaluator(model)
         out = ev(llr, labels)
         assert 0.0 <= out["coded_ber"] <= 1.0

@@ -107,6 +107,71 @@ class TestKBest:
         agree = np.mean((llr_kb > 0) == (llr_ml > 0))
         assert agree > 0.98, agree
 
+    def _ml_llr_nstream(self, y, h, no, m, n_streams):
+        """Exhaustive max-log ML for any stream count (ground truth)."""
+        pts = np.asarray(qam_points(m))
+        labels = np.asarray(bit_labels(m))
+        P = len(pts)
+        grids = np.meshgrid(*([np.arange(P)] * n_streams), indexing="ij")
+        cand = np.stack(grids, -1).reshape(-1, n_streams)  # [P^S, S]
+        x_cand = pts[cand]
+        d = np.abs(y[:, None, :]
+                   - np.einsum("bas,cs->bca", h, x_cand)) ** 2
+        metric = -d.sum(-1) / no
+        llrs = np.zeros((y.shape[0], n_streams, m))
+        for st in range(n_streams):
+            bits = labels[cand[:, st]]
+            for bit in range(m):
+                m1 = np.where(bits[:, bit] > .5, metric, -1e9).max(-1)
+                m0 = np.where(bits[:, bit] < .5, metric, -1e9).max(-1)
+                llrs[:, st, bit] = m1 - m0
+        return llrs
+
+    def test_kbest_list_path_full_tree_equals_ml(self):
+        """Force the k-survivor LIST path (exact=False) on a full tree:
+        3-stream QPSK with k=64 keeps all 4^3=64 leaves, so the list
+        recursion must EQUAL exhaustive ML exactly — pinning the
+        column-norm detection ordering and its argsort-inverse
+        un-permutation (the >2-stream path the exact-ML fast path
+        otherwise shadows in every live eval config)."""
+        key = jax.random.PRNGKey(20)
+        b, m, s = 64, 2, 3
+        pts = jnp.asarray(qam_points(m))
+        h = (jax.random.normal(key, (b, 4, s)) + 1j * jax.random.normal(
+            jax.random.PRNGKey(21), (b, 4, s))).astype(jnp.complex64) \
+            / np.sqrt(2)
+        xi = jax.random.randint(jax.random.PRNGKey(22), (b, s), 0, 4)
+        x = pts[xi]
+        no = 0.08
+        n = (jax.random.normal(jax.random.PRNGKey(23), (b, 4))
+             + 1j * jax.random.normal(jax.random.PRNGKey(24), (b, 4))
+             ).astype(jnp.complex64) * np.sqrt(no / 2)
+        y = jnp.einsum("bas,bs->ba", h, x) + n
+        llr_kb = np.asarray(kbest_detect(y, h, no, m, k=64, exact=False))
+        llr_ml = self._ml_llr_nstream(np.asarray(y), np.asarray(h), no,
+                                      m, s)
+        np.testing.assert_allclose(llr_kb,
+                                   np.clip(llr_ml, -20.0, 20.0),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_kbest_exact_flag_forced_list_matches_exact(self):
+        """2-stream QPSK, k=16 = full tree: forced list path (the
+        detector the exact-ML default replaces) == forced exact path."""
+        key = jax.random.PRNGKey(30)
+        b, m = 128, 2
+        h = (jax.random.normal(key, (b, 4, 2)) + 1j * jax.random.normal(
+            jax.random.PRNGKey(31), (b, 4, 2))).astype(jnp.complex64) \
+            / np.sqrt(2)
+        pts = jnp.asarray(qam_points(m))
+        xi = jax.random.randint(jax.random.PRNGKey(32), (b, 2), 0, 4)
+        y = jnp.einsum("bas,bs->ba", h, pts[xi])
+        no = 0.1
+        llr_list = np.asarray(kbest_detect(y, h, no, m, k=16,
+                                           exact=False))
+        llr_exact = np.asarray(kbest_detect(y, h, no, m, exact=True))
+        np.testing.assert_allclose(llr_list, llr_exact, rtol=1e-3,
+                                   atol=1e-3)
+
     def test_kbest_single_stream_equals_demap(self):
         key = jax.random.PRNGKey(5)
         b, m = 128, 4

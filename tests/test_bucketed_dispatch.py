@@ -70,7 +70,8 @@ class TestBucketedDispatch:
 
         gen3 = AerialDataGenerator(model3, engine3)
         inputs3, _ = gen3(jax.random.PRNGKey(1), 2, 10.0)
-        llr_direct = np.asarray(engine3(params, *inputs3))
+        llr_direct, h_direct = [np.asarray(o)
+                                for o in engine3(params, *inputs3)]
 
         t = model4.p.max_num_tx
         ant = model4.p.num_rx_antennas
@@ -92,10 +93,13 @@ class TestBucketedDispatch:
 
         rx = BucketedReceiver(make_engine, params, buckets=(4,))
         assert rx.bucket_for(3) == 4
-        llr_padded = np.asarray(rx.run(3, *inputs3))
+        llr_padded, h_padded = [np.asarray(o) for o in rx.run(3, *inputs3)]
 
         assert llr_padded.shape == llr_direct.shape
         np.testing.assert_allclose(llr_padded, llr_direct,
+                                   rtol=1e-3, atol=5e-4)
+        assert h_padded.shape == h_direct.shape
+        np.testing.assert_allclose(h_padded, h_direct,
                                    rtol=1e-3, atol=5e-4)
 
     def test_exact_bucket_passthrough(self):
@@ -106,13 +110,14 @@ class TestBucketedDispatch:
         params = model4.init_params(jax.random.PRNGKey(0))
         gen4 = AerialDataGenerator(model4, engine4)
         inputs4, _ = gen4(jax.random.PRNGKey(2), 2, 10.0)
-        llr_direct = np.asarray(engine4(params, *inputs4))
+        want = engine4(params, *inputs4)
 
         rx = BucketedReceiver(lambda n: (engine4, inputs4), params,
                               buckets=(4,))
-        llr_bucket = np.asarray(rx.run(4, *inputs4))
-        np.testing.assert_allclose(llr_bucket, llr_direct,
-                                   rtol=1e-4, atol=1e-5)
+        got = rx.run(4, *inputs4)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-4, atol=1e-5)
 
     def test_serialized_engine_roundtrip(self, tmp_path):
         """serialize_engine / load_engine: the persisted StableHLO
@@ -124,14 +129,16 @@ class TestBucketedDispatch:
         params = model4.init_params(jax.random.PRNGKey(0))
         gen4 = AerialDataGenerator(model4, engine4)
         inputs4, _ = gen4(jax.random.PRNGKey(5), 1, 10.0)
-        want = np.asarray(engine4(params, *inputs4))
+        want = engine4(params, *inputs4)
 
         path = tmp_path / "engine.jaxengine"
         nbytes = serialize_engine(lambda *a: engine4(params, *a),
                                   inputs4, str(path))
         assert nbytes > 1000 and path.exists()
-        got = np.asarray(load_engine(str(path))(*inputs4))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        got = load_engine(str(path))(*inputs4)
+        for g, w in zip(got, want):  # (llr, h_hat)
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-6)
 
     def test_pilot_count_mismatch_rejected(self):
         import pytest

@@ -111,21 +111,23 @@ def test_fused_iteration_mxu_rejected():
 
 
 def test_cgnn_apply_fused_readout_matches_default():
-    """fused_readout=True: final-iteration in-VMEM LLR readout ==
-    default path LLRs (single-MCS serving mode; chest skipped)."""
+    """fused_readout=True: final-iteration in-VMEM LLR AND chest
+    readouts == default path (single-MCS serving mode; the kernel
+    returns (llr, h_hat) like the reference engine)."""
     cfg, params, s, pe = _setup()
     b, t, sym, sc = 2, 2, 14, 48
     y = jax.random.normal(jax.random.PRNGKey(3), (b, sym, sc, 8))
     h = jax.random.normal(jax.random.PRNGKey(4), (b, t, sym, sc, 8))
     act = jnp.asarray([[1.0, 1.0], [1.0, 0.0]])
     mm = jnp.ones((b, t, 1))
-    want, _ = cgnn_apply(params, cfg, y, pe, h, act, mm)
+    want, wh = cgnn_apply(params, cfg, y, pe, h, act, mm)
     cfg_f = dataclasses.replace(cfg, fused_iteration=True,
                                 fused_readout=True)
     got, gh = cgnn_apply(params, cfg_f, y, pe, h, act, mm)
-    assert gh == []  # chest readout skipped in deployed-engine scope
     np.testing.assert_allclose(np.asarray(got[-1][0]),
                                np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gh[-1]), np.asarray(wh[-1]),
                                rtol=5e-5, atol=5e-5)
 
 

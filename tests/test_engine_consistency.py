@@ -32,23 +32,31 @@ class TestEngineConsistency:
         gen = AerialDataGenerator(model, engine)
         inputs, labels = gen(jax.random.PRNGKey(1), 2, 10.0)
 
-        llr_engine = engine(params, *inputs)  # [b,T,sc,sym,bits], flipped
+        llr_engine, h_engine = engine(params, *inputs)
+        # [b,T,sc,sym,ch]: LLRs sign-flipped, h_hat as-is
         llr_engine = -jnp.transpose(llr_engine, (0, 1, 3, 2, 4))
+        h_engine = jnp.transpose(h_engine, (0, 1, 3, 2, 4))
 
         # simulation path on the same received slot
         y = (inputs[0] + 1j * inputs[1])  # [b, sc, sym, ant]
         y = jnp.transpose(y, (0, 3, 2, 1))  # [b, ant, sym, sc]
         y_in, h_in = rx._prepare_inputs(y)
-        llrs, _ = cgnn_apply(params["cgnn"], rx.cgnn_cfg, y_in,
-                             jnp.asarray(rx.pe), h_in,
-                             jnp.ones((2, rx.max_num_tx)),
-                             jnp.ones((2, rx.max_num_tx, 1)),
-                             dtype=jnp.float32)
+        llrs, h_hats = cgnn_apply(params["cgnn"], rx.cgnn_cfg, y_in,
+                                  jnp.asarray(rx.pe), h_in,
+                                  jnp.ones((2, rx.max_num_tx)),
+                                  jnp.ones((2, rx.max_num_tx, 1)),
+                                  dtype=jnp.float32)
         llr_sim = llrs[-1][0]
         # engine's FOCC+NN preprocessing == simulation LS+FOCC+NN, so
         # the LLR grids must agree closely
         np.testing.assert_allclose(np.asarray(llr_engine),
                                    np.asarray(llr_sim), rtol=1e-3,
+                                   atol=1e-3)
+        # and the engine's second output is the chest readout, matching
+        # the simulation path's refined h_hat (reference engine
+        # contract: (llr, h_hat), neural_rx.py:1796-1812)
+        np.testing.assert_allclose(np.asarray(h_engine),
+                                   np.asarray(h_hats[-1]), rtol=1e-3,
                                    atol=1e-3)
 
 
