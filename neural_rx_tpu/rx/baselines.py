@@ -310,15 +310,29 @@ def _best_chunk_size(n_prb: int, target: int = 20) -> int:
 
 class LMMSEChannelInterpolator:
     """Space-freq-time LMMSE interpolation (order "s-f-t") from measured
-    covariance matrices; PRB-chunked in frequency for large bandwidths
-    (reference LowComplexityPUSCHLMSEEstimator)."""
+    covariance matrices.
 
-    # pilot-level noise grid for the precomputed weight banks: LMMSE
-    # weights built for one fixed noise level over-smooth at high SNR
-    # (measured round 4: a fixed 0.1 put an error floor under the
-    # 64-QAM LMMSE+K-Best curve, +1.7 dB vs the reference whose
-    # interpolator is regularized per-eval); the caller's actual no
-    # selects the nearest bank at trace time.
+    Two modes:
+    - exact (default, lmmse_num_prbs == -1): FULL-band frequency LMMSE
+      with the interpolation weights SOLVED ON DEVICE per call from the
+      caller's actual noise variance — the semantics of the reference's
+      Sionna `LMMSEInterpolator` baseline chain (baseline_rx.py:168-207:
+      full-bandwidth weights, regularized per-eval). One [P, P] complex
+      solve per stage per call; batch-independent, eval-only cost.
+    - chunked (explicit lmmse_num_prbs > 0): PRB-chunked low-complexity
+      variant with precomputed per-noise-bank weights (reference
+      LowComplexityPUSCHLMSEEstimator, baseline_rx.py:310-486 — the
+      Aerial-deployable fixed-chunk form). Round 4 measured the chunk
+      boundaries costing ~+0.8 dB at 64-QAM BLER 1e-2 vs the exact
+      mode, which is why exact is the eval default.
+    """
+
+    # pilot-level noise grid for the precomputed weight banks (chunked
+    # mode): LMMSE weights built for one fixed noise level over-smooth
+    # at high SNR (measured round 4: a fixed 0.1 put an error floor
+    # under the 64-QAM LMMSE+K-Best curve, +1.7 dB vs the reference
+    # whose interpolator is regularized per-eval); the caller's actual
+    # no selects the nearest bank at trace time.
     NOISE_GRID = (0.8, 0.5, 0.32, 0.2, 0.125, 0.08, 0.05, 0.032, 0.02,
                   0.0125, 0.008, 0.005)
 
@@ -333,7 +347,11 @@ class LMMSEChannelInterpolator:
         self.dmrs_syms = np.where(mask.any(axis=1))[0]
         self._default_noise = noise_var_est
 
-        if lmmse_num_prbs == -1:
+        self.exact = lmmse_num_prbs == -1
+        if self.exact:
+            chunk_prbs = n_prb  # full band
+        elif lmmse_num_prbs == 0:
+            # auto chunk size, reference low-complexity heuristic
             chunk_prbs = _best_chunk_size(n_prb) if n_prb > 100 else n_prb
         else:
             chunk_prbs = lmmse_num_prbs
@@ -347,13 +365,35 @@ class LMMSEChannelInterpolator:
         pil = rg.pilots[slot]
         self._pilot_pow = float(np.mean(np.abs(pil[np.abs(pil) > 0]) ** 2))
 
-        grid = list(self.NOISE_GRID)
-        self._noise_grid = np.asarray(grid, np.float32)
-        self._wf = {}
         self._pilot_sc = {}
         for tx in range(rg.num_tx):
             nz = np.abs(rg.dmrs_grids[slot, tx, self.dmrs_syms[0]]) > 1e-3
             self._pilot_sc[tx] = np.where(nz)[0]
+
+        if self.exact:
+            # keep host-side covariance blocks; the per-call solve with
+            # the ACTUAL noise builds the weights on device (complex
+            # tables stay numpy — see verify skill: eager complex device
+            # constants are an axon hazard, baked numpy constants fine)
+            self._cf_oo = {}
+            self._cf_ao = {}
+            for tx in range(rg.num_tx):
+                obs = self._pilot_sc[tx]
+                self._cf_oo[tx] = cov_freq[np.ix_(obs, obs)].astype(
+                    np.complex64)
+                self._cf_ao[tx] = cov_freq[:, obs].astype(np.complex64)
+            self._ct_oo = cov_time[np.ix_(self.dmrs_syms,
+                                          self.dmrs_syms)].astype(
+                np.complex64)
+            self._ct_ao = cov_time[:, self.dmrs_syms].astype(np.complex64)
+            self._cs = cov_space.astype(np.complex64)
+            return
+
+        grid = list(self.NOISE_GRID)
+        self._noise_grid = np.asarray(grid, np.float32)
+        self._wf = {}
+        for tx in range(rg.num_tx):
+            nz = np.abs(rg.dmrs_grids[slot, tx, self.dmrs_syms[0]]) > 1e-3
             sc_idx = np.where(nz[:self.chunk_sc])[0]
             self._wf[tx] = np.stack(
                 [_lmmse_weights(cf, sc_idx, nv) for nv in grid]
@@ -380,6 +420,8 @@ class LMMSEChannelInterpolator:
         if no is None:
             no = self._default_noise
         no_pil = jnp.asarray(no, jnp.float32) / self._pilot_pow
+        if self.exact:
+            return self._call_exact(h_pilots, no_pil)
         idx = jnp.argmin(jnp.abs(
             jnp.log(jnp.maximum(no_pil, 1e-9))
             - jnp.log(jnp.asarray(self._noise_grid))))
@@ -399,5 +441,30 @@ class LMMSEChannelInterpolator:
             hf = hf.reshape(b, ant, nt, -1)  # [b, ant, n_dmrs, sc]
             # time interpolation
             ht = jnp.einsum("st,batf->basf", wt, hf)
+            outs.append(ht)
+        return jnp.stack(outs, axis=2)  # [b, ant, tx, 14, sc]
+
+    def _call_exact(self, h_pilots: dict, no_pil):
+        """Full-band s-f-t LMMSE with weights solved per call at the
+        actual noise level (reference Sionna LMMSEInterpolator
+        semantics). `a @ W^T = r_ao^T` is solved on device; a is
+        Hermitian PSD + nv*I so the generic LU solve is well posed."""
+        no_c = no_pil.astype(jnp.complex64)
+
+        def solve_w(r_oo, r_ao):
+            a = jnp.asarray(r_oo) + no_c * jnp.eye(r_oo.shape[0],
+                                                   dtype=jnp.complex64)
+            return jnp.linalg.solve(a.T, jnp.asarray(r_ao).T).T
+
+        wt = solve_w(self._ct_oo, self._ct_ao)  # [14, n_dmrs]
+        n_ant = self._cs.shape[0]
+        ws = solve_w(self._cs, self._cs)  # [ant, ant]
+        outs = []
+        for tx in range(self.rg.num_tx):
+            wf = solve_w(self._cf_oo[tx], self._cf_ao[tx])  # [sc, P]
+            hp = h_pilots[tx]  # [b, ant, n_dmrs, P]
+            hp = jnp.einsum("ij,bjts->bits", ws, hp)
+            hf = jnp.einsum("fp,batp->batf", wf, hp)  # [b, ant, nd, sc]
+            ht = jnp.einsum("st,batf->basf", wt, hf)  # [b, ant, 14, sc]
             outs.append(ht)
         return jnp.stack(outs, axis=2)  # [b, ant, tx, 14, sc]

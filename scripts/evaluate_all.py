@@ -42,6 +42,17 @@ def main():
     ap.add_argument("--budget-s", type=float, default=None,
                     help="soft wall-clock budget: no NEW (system, tx, "
                          "mcs) sweep starts after this many seconds")
+    ap.add_argument("--bracket-bler", type=float, default=5e-3,
+                    help="refuse to finish a curve whose deepest "
+                         "measured BLER is above this: extend the sweep "
+                         "past the config's SNR grid (config stepsize) "
+                         "until it drops below, so the 1e-2 comparison "
+                         "crossing is always bracketed (the round-4 nan "
+                         "summary cells were curves that ran out of "
+                         "grid above 1e-2). 0 disables")
+    ap.add_argument("--extend-db", type=float, default=6.0,
+                    help="max extra dB appended past the config grid "
+                         "by --bracket-bler")
     ap.add_argument("--channel", default=None,
                     help="override the eval channel_type (reference "
                          "1-UE slices use TDL-B100 where the 2-UE "
@@ -144,11 +155,14 @@ def main():
                     num_it = None
                     batch = (p.batch_size_eval_small
                              if "kbest" in system else p.batch_size_eval)
+                last = {}
+
                 def save_point(e, b, bl, _tx=num_tx, _m=mcs_idx,
-                               _sys=system):
+                               _sys=system, _last=last):
                     save_results(res_path, p.label, SYSTEM_LABELS[_sys],
                                  _tx, _m, np.asarray([e]),
                                  np.asarray([b]), np.asarray([bl]))
+                    _last["ebno"], _last["bler"] = float(e), float(bl)
 
                 ber, bler = sim_ber(
                     model, params, ebno_dbs, batch_size=batch,
@@ -157,6 +171,29 @@ def main():
                     target_bler=args.target_bler, mcs_arr_eval_idx=mcs_idx,
                     num_it=num_it, fast_ldpc=args.fast_ldpc,
                     point_callback=save_point)
+                # a curve must not end above the comparison target: keep
+                # stepping past the config grid until the deepest point
+                # is below --bracket-bler (so the 1e-2 crossing exists)
+                step_db = float(p0.snr_db_eval_stepsize)
+                e_max = float(ebno_dbs[-1]) + args.extend_db
+                while (args.bracket_bler > 0 and last
+                       and last["bler"] > args.bracket_bler
+                       and last["ebno"] + step_db <= e_max + 1e-9
+                       and (args.budget_s is None
+                            or time.time() - t_start < args.budget_s)):
+                    e_next = last["ebno"] + step_db
+                    print(f"  extending past grid: {e_next:.2f} dB "
+                          f"(deepest BLER {last['bler']:.3g})",
+                          flush=True)
+                    sim_ber(model, params, np.asarray([e_next],
+                                                      np.float32),
+                            batch_size=batch, max_mc_iter=args.max_iter,
+                            num_target_block_errors=(
+                                args.target_block_errors),
+                            target_bler=args.target_bler,
+                            mcs_arr_eval_idx=mcs_idx, num_it=num_it,
+                            fast_ldpc=args.fast_ldpc,
+                            point_callback=save_point)
                 print(f"appended to {res_path}", flush=True)
 
 

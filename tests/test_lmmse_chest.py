@@ -34,6 +34,50 @@ class TestLMMSEChest:
             assert np.all(np.real(np.diag(c)) > 0)
         assert abs(np.real(np.trace(cf)) / 48 - 1.0) < 0.3
 
+    def test_exact_interpolator_matches_numpy(self, tmp_path):
+        """Exact mode (lmmse_num_prbs=-1): the on-device per-call solve
+        at the ACTUAL noise reproduces the closed-form numpy
+        W = R_ao (R_oo + nv I)^-1 pipeline stage by stage."""
+        from neural_rx_tpu.sim.covariance import compute_cov_matrices
+        from neural_rx_tpu.rx.baselines import LMMSEChannelInterpolator
+        p = self._params("baseline_lmmse_lmmse")
+        cf, ct, cs = compute_cov_matrices(p, num_batches=2, batch_size=4)
+        rg = p.transmitters[0].resource_grid
+        it = LMMSEChannelInterpolator(rg, cf, ct, cs, lmmse_num_prbs=-1)
+        assert it.exact
+        rng = np.random.default_rng(0)
+        b, ant = 2, 4
+        nd = len(it.dmrs_syms)
+        no = 0.0371  # deliberately NOT on the bank grid
+        no_pil = no / it._pilot_pow
+        h_pilots = {}
+        for tx in range(rg.num_tx):
+            np_t = len(it._pilot_sc[tx])
+            h_pilots[tx] = jnp.asarray(
+                rng.normal(size=(b, ant, nd, np_t))
+                + 1j * rng.normal(size=(b, ant, nd, np_t)),
+                jnp.complex64)
+        got = np.asarray(jax.jit(
+            lambda hp: jnp.stack([jnp.real(it(hp, no=no)),
+                                  jnp.imag(it(hp, no=no))]))(h_pilots))
+        got = got[0] + 1j * got[1]
+
+        def w_np(cov, obs):
+            a = cov[np.ix_(obs, obs)] + no_pil * np.eye(len(obs))
+            return cov[:, obs] @ np.linalg.inv(a)
+
+        ws = cs @ np.linalg.inv(cs + no_pil * np.eye(ant))
+        wt = w_np(ct, it.dmrs_syms)
+        want = []
+        for tx in range(rg.num_tx):
+            wf = w_np(cf, it._pilot_sc[tx])
+            hp = np.asarray(h_pilots[tx])
+            hp = np.einsum("ij,bjts->bits", ws, hp)
+            hf = np.einsum("fp,batp->batf", wf, hp)
+            want.append(np.einsum("st,batf->basf", wt, hf))
+        want = np.stack(want, axis=2)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
     def test_lmmse_chest_end_to_end(self, tmp_path):
         from neural_rx_tpu.sim.covariance import compute_cov_matrices
         from neural_rx_tpu.sim.baseline_e2e import BaselineE2EModel
