@@ -145,6 +145,37 @@ def load_engine(path: str):
     return exp.call
 
 
+def serialize_compiled(compiled, path: str) -> int:
+    """Persist a COMPILED XLA executable (jax.experimental
+    .serialize_executable) — unlike `serialize_engine` (StableHLO,
+    recompiled at load), this is the machine-code-level TRT `.plan`
+    analog: loading skips XLA compilation entirely, which matters for
+    the whole-grid/mega engines whose TPU compile runs minutes
+    (BENCH_r04: 372 s trace-time compile before the first timed slot).
+    Returns the byte size."""
+    import pickle
+    from jax.experimental import serialize_executable as se
+    payload, in_tree, out_tree = se.serialize(compiled)
+    blob = pickle.dumps({"payload": payload, "in_tree": in_tree,
+                         "out_tree": out_tree})
+    with open(path, "wb") as f:
+        f.write(blob)
+    return len(blob)
+
+
+def load_compiled(path: str):
+    """Load a `serialize_compiled` artifact -> the compiled callable.
+    Device/runtime-specific (like a TRT plan): the artifact only loads
+    on the platform it was compiled for; callers should fall back to a
+    fresh compile on failure."""
+    import pickle
+    from jax.experimental import serialize_executable as se
+    with open(path, "rb") as f:
+        d = pickle.load(f)
+    return se.deserialize_and_load(d["payload"], d["in_tree"],
+                                   d["out_tree"])
+
+
 def measure_latency(compiled, params, inputs, iters: int = 100):
     """p50/p99 single-dispatch latency + pipelined throughput.
 

@@ -313,6 +313,223 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
     return llr
 
 
+def _full_kernel(num_tx, n_hid_init, n_hid_upd, num_it, w_blk,
+                 out_dtype, lp_stencil, valid_ref, act_ref, *refs):
+    """Whole-receiver mega-kernel body: init conv stack + every CGNN
+    iteration (aggregation MLP + masked user sum + concat + update
+    stack + residual) + BOTH readouts, entirely VMEM-resident — the
+    state tensor never touches HBM between stages. Whole-grid only
+    (halo-free; the VMEM buffer edge IS the grid edge).
+
+    refs layout: per user t: z0 block [1, H, W, C_in]; per user t: pe
+    block [1, H, W, 2]; init stack (dw, pw, b) x (n_hid_init+1); per
+    iteration i: agg (w1, b1, w2, b2) then update (dw, pw, b) x
+    (n_hid_upd+1); LLR readout (w1, b1, w2, b2); chest readout
+    (w1, b1, w2, b2); then num_tx LLR out refs + num_tx chest out refs.
+    """
+    z0_blocks = refs[:num_tx]
+    pe_blocks = refs[num_tx:2 * num_tx]
+    out_refs = refs[-2 * num_tx:]
+    wrefs = list(refs[2 * num_tx:-2 * num_tx])
+    init_refs = wrefs[:3 * (n_hid_init + 1)]
+    wrefs = wrefs[3 * (n_hid_init + 1):]
+    per_it = 4 + 3 * (n_hid_upd + 1)
+    it_refs = [wrefs[i * per_it:(i + 1) * per_it] for i in range(num_it)]
+    ro_refs = wrefs[num_it * per_it:num_it * per_it + 4]
+    ch_refs = wrefs[num_it * per_it + 4:num_it * per_it + 8]
+
+    bi = pl.program_id(0)
+    lo, hi = valid_ref[0], valid_ref[1]
+    h = z0_blocks[0].shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w_blk, 1), 1)
+    in_grid = (col >= lo) & (col < hi)
+
+    # ---- init stack over all users (leading-axis vectorized) ----
+    z0 = jnp.stack([z0_blocks[t][0] for t in range(num_tx)], axis=0)
+    s = _run_stack(z0, init_refs, n_hid_init, out_dtype,
+                   in_grid=in_grid, mxu=False,
+                   lp_stencil=lp_stencil)  # [T, H, W, d_s]
+    d_s = s.shape[-1]
+    pe = jnp.stack([pe_blocks[t][0] for t in range(num_tx)], axis=0)
+
+    # per-user active mask [T,1,1,1] from SMEM scalars (predicate
+    # broadcasts; see _iter_kernel)
+    tvec = jax.lax.broadcasted_iota(jnp.int32, (num_tx, 1, 1, 1), 0)
+    act4 = functools.reduce(
+        lambda p, q: p + q,
+        [act_ref[bi, t].astype(out_dtype)
+         * (tvec == t).astype(out_dtype) for t in range(num_tx)])
+    cnt = functools.reduce(
+        lambda p, q: p + q,
+        [act_ref[bi, t].astype(jnp.float32) for t in range(num_tx)]) - 1.0
+    cnt = jnp.maximum(cnt, 0.0)
+    scale = jnp.where(cnt == 0.0, 1.0,
+                      1.0 / jnp.maximum(cnt, 1.0)).astype(out_dtype)
+
+    # ---- iterations ----
+    for i in range(num_it):
+        w1, b1, w2, b2 = (r[:] for r in it_refs[i][:4])
+        upd = it_refs[i][4:]
+        x = s.reshape(num_tx * h * w_blk, d_s)
+        y = jax.lax.dot_general(
+            x, w1.astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + b1.astype(jnp.float32)[None, :], 0.0)
+        y = y.astype(out_dtype)
+        y = jax.lax.dot_general(
+            y, w2.astype(y.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        y = y + b2.astype(jnp.float32)[None, :]
+        sps = y.reshape(num_tx, h, w_blk, d_s).astype(out_dtype) * act4
+        tot = jnp.sum(sps, axis=0)
+        a_all = (tot[None] - sps) * scale
+        z = jnp.concatenate([a_all, s, pe], axis=-1)
+        u = _run_stack(z, upd, n_hid_upd, out_dtype, in_grid=in_grid,
+                       mxu=False, lp_stencil=lp_stencil)
+        s = u + s
+
+    # ---- readouts on the final state ----
+    x = s.reshape(num_tx * h * w_blk, d_s)
+
+    def ro_mlp(w_refs):
+        r = jax.lax.dot_general(
+            x, w_refs[0][:].astype(x.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = jnp.maximum(r + w_refs[1][:].astype(jnp.float32)[None, :],
+                        0.0).astype(out_dtype)
+        r = jax.lax.dot_general(
+            r, w_refs[2][:].astype(r.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r = r + w_refs[3][:].astype(jnp.float32)[None, :]
+        return r.reshape(num_tx, h, w_blk, -1).astype(out_dtype)
+
+    r = ro_mlp(ro_refs)
+    c = ro_mlp(ch_refs)
+    for t in range(num_tx):
+        out_refs[t][0] = r[t]
+        out_refs[num_tx + t][0] = c[t]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_tx", "num_it", "interpret",
+                                    "lp_stencil"))
+def _fused_cgnn_full_impl(init_p, it_ps, ro_p, ch_p, z0, pe, active_tx,
+                          sc_valid, num_tx: int, num_it: int,
+                          interpret: bool | None = None,
+                          lp_stencil: bool = False):
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, t, h, w, c_in = z0.shape
+    assert t == num_tx
+    dtype = z0.dtype
+    w_blk = -(-w // 128) * 128
+
+    init_layers = list(init_p["hidden"]) + [init_p["out"]]
+    init_ops, init_specs = _flatten_weights(init_layers, dtype)
+    it_ops, it_specs = [], []
+    for it_p in it_ps:
+        a_ops, a_specs = _flatten_dense(it_p["agg"], dtype)
+        u_layers = list(it_p["update"]["hidden"]) + [it_p["update"]["out"]]
+        u_ops, u_specs = _flatten_weights(u_layers, dtype)
+        it_ops += a_ops + u_ops
+        it_specs += a_specs + u_specs
+    ro_ops, ro_specs = _flatten_dense(ro_p, dtype)
+    ch_ops, ch_specs = _flatten_dense(ch_p, dtype)
+
+    z0_ext = jnp.pad(z0.reshape(b * t, h, w, c_in),
+                     ((0, 0), (0, 0), (0, w_blk - w), (0, 0)))
+    pe_ext = jnp.pad(pe.astype(dtype),
+                     ((0, 0), (0, 0), (0, w_blk - w), (0, 0)))
+
+    def z0_blk(tt):
+        return pl.BlockSpec(
+            (1, h, w_blk, c_in),
+            lambda i, _t=tt: (i * num_tx + _t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    def pe_blk(tt):
+        return pl.BlockSpec(
+            (1, h, w_blk, pe.shape[-1]),
+            lambda i, _t=tt: (_t, 0, 0, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)]
+    operands = [sc_valid, active_tx.astype(jnp.float32)]
+    for tt in range(num_tx):
+        in_specs.append(z0_blk(tt))
+        operands.append(z0_ext)
+    for tt in range(num_tx):
+        in_specs.append(pe_blk(tt))
+        operands.append(pe_ext)
+    in_specs += init_specs + it_specs + ro_specs + ch_specs
+    operands += init_ops + it_ops + ro_ops + ch_ops
+
+    d_llr = ro_p["out"]["w"].shape[1]
+    d_ch = ch_p["out"]["w"].shape[1]
+    d_outs = [d_llr] * num_tx + [d_ch] * num_tx
+    out_specs = [pl.BlockSpec((1, h, w_blk, d),
+                              lambda i: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+                 for d in d_outs]
+    out_shapes = [jax.ShapeDtypeStruct((b, h, w_blk, d), dtype)
+                  for d in d_outs]
+
+    kernel = functools.partial(
+        _full_kernel, num_tx, len(init_p["hidden"]),
+        len(it_ps[0]["update"]["hidden"]), num_it, w_blk, dtype,
+        lp_stencil)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+    llr = jnp.stack(outs[:num_tx], axis=1)[:, :, :, :w, :]
+    ch = jnp.stack(outs[num_tx:], axis=1)[:, :, :, :w, :]
+    return llr, ch
+
+
+def fused_cgnn_full(params, z0, pe, active_tx, sc_valid=None,
+                    num_it: int | None = None,
+                    interpret: bool | None = None,
+                    lp_stencil: bool | None = None):
+    """ONE Pallas kernel for the whole deployed CGNN: init conv stack +
+    every iteration + LLR and chest readouts, with the state tensor
+    VMEM-resident end to end (the round-4 engine ran init / iteration /
+    iteration+readouts as separate kernels, paying an HBM round trip of
+    the [b, T, 14, W, d_s] state at each boundary). Whole-grid only —
+    needs a raised scoped-vmem budget at the 132-PRB shape
+    (NRX_COMPILER_OPTS=xla_tpu_scoped_vmem_limit_kib=98304 measured in
+    round 5's offline Mosaic checks).
+
+    params: full CGNN param tree (single-MCS, non-masking, sepconv,
+    1-hidden aggregation + readout MLPs — the deployed nrx family).
+    z0: [b, T, H, W, C_in] stacked input features (already normalized,
+    see cgnn_apply); pe: [T, H, W, 2]; active_tx: [b, T].
+    Returns (llr [b, T, H, W, bits], h_hat [b, T, H, W, 2*rx_ant]).
+    Matches the reference deployed engine's scope exactly
+    (NeuralReceiverONNX.forward, reference neural_rx.py:1773-1812).
+    """
+    b, t, h, w, _ = z0.shape
+    it_ps = params["iterations"]
+    num_it = len(it_ps) if num_it is None else num_it
+    it_ps = tuple(it_ps[:num_it])
+    init_p = params["s_init"][0]
+    ro_p = params["readout_llrs"][0]
+    ch_p = params["readout_chest"]
+    assert len(ro_p["hidden"]) == 1 and len(ch_p["hidden"]) == 1
+    for it_p in it_ps:
+        assert len(it_p["agg"]["hidden"]) == 1
+    vr, _ = _valid_range(sc_valid, w)
+    return _fused_cgnn_full_impl(init_p, it_ps, ro_p, ch_p, z0, pe,
+                                 active_tx, vr, num_tx=t, num_it=num_it,
+                                 interpret=interpret,
+                                 lp_stencil=_lp_default(lp_stencil))
+
+
 def fused_iteration(it_params, s, pe, active_tx, sc_valid=None,
                     w_blk: int | None = None,
                     interpret: bool | None = None,

@@ -196,9 +196,13 @@ class CGNNConfig:
     stencil_lp: bool | None = None  # accumulate the depthwise stencil
     # in the activation dtype (packed bf16 VPU) instead of f32;
     # None defers to the NRX_STENCIL_LP env knob (serving A/B)
-    fused_readout: bool = False  # serving only: apply the LLR readout
-    # MLP inside the FINAL fused-iteration kernel (state never leaves
-    # VMEM; chest readout skipped — single-MCS, non-masking models)
+    fused_readout: bool = False  # serving only: apply the LLR + chest
+    # readout MLPs inside the FINAL fused-iteration kernel (state never
+    # leaves VMEM; single-MCS, non-masking models)
+    fused_full: bool = False  # serving only: ONE mega-kernel for the
+    # whole CGNN (init stack + every iteration + both readouts,
+    # VMEM-resident state end to end; whole-grid, raised scoped-vmem
+    # budget — kernels/cgnn_iter_pallas.fused_cgnn_full)
 
     @property
     def num_mcs(self):
@@ -337,6 +341,23 @@ def cgnn_apply(params, cfg: CGNNConfig, y, pe, h_hat, active_tx,
     feats = [y_b, pe_b] + ([h_hat] if h_hat is not None else [])
     z0 = jnp.concatenate(feats, axis=-1)
     z0_flat = z0.reshape((b * t,) + z0.shape[2:])
+
+    if (cfg.fused_full and not training and not apply_multiloss
+            and cfg.num_mcs == 1 and not cfg.var_mcs_masking
+            and cfg.layer_type_conv == "sepconv"
+            and all(len(p["agg"]["hidden"]) == 1
+                    for p in params["iterations"][:num_it])
+            and len(params["readout_llrs"][0]["hidden"]) == 1
+            and len(params["readout_chest"]["hidden"]) == 1):
+        # whole-receiver mega-kernel: init + iterations + both readouts
+        # in ONE pallas_call, state VMEM-resident throughout — the same
+        # (llr, h_hat) scope as the reference's deployed engine
+        # (neural_rx.py:1773-1812)
+        from ..kernels.cgnn_iter_pallas import fused_cgnn_full
+        llr, hh = fused_cgnn_full(params, z0, pe, active_tx, sc_valid,
+                                  num_it=num_it,
+                                  lp_stencil=cfg.stencil_lp)
+        return [[llr.astype(jnp.float32)]], [hh.astype(jnp.float32)]
 
     def run_init(p):
         s = _apply_conv_stack(p, z0_flat, cfg.layer_type_conv,

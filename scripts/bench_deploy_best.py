@@ -59,30 +59,94 @@ def main():
             return jnp.mean(y_out)
         return run
 
+    # TRT-plan analog: a previously serialized COMPILED executable of
+    # the best chain loads in seconds instead of the ~6-minute XLA
+    # compile (deploy/aot.serialize_compiled). Cache key = engine knobs.
+    from neural_rx_tpu.deploy.aot import serialize_compiled, load_compiled
+    art_dir = os.environ.get("NRX_ENGINE_CACHE", "deploy_out")
+    tag = "-".join(f"{k}={os.environ.get(k, '')}"
+                   for k in ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_MEGA"))
+    art = os.path.join(art_dir, f"best_chain_b1_L{L}_{tag}.npe")
+    long_best = None
     t0 = time.time()
-    long_best = jax.jit(chain(fn_best, L)).lower(y_example).compile(
-        compiler_options=copts)
+    if os.path.exists(art):
+        try:
+            long_best = load_compiled(art)
+            print(f"loaded serialized engine {art}", file=sys.stderr)
+        except Exception as e:  # stale/foreign artifact: recompile
+            print(f"engine artifact load failed ({e}); recompiling",
+                  file=sys.stderr)
+    if long_best is None:
+        long_best = jax.jit(chain(fn_best, L)).lower(y_example).compile(
+            compiler_options=copts)
+        try:
+            os.makedirs(art_dir, exist_ok=True)
+            n = serialize_compiled(long_best, art)
+            print(f"serialized engine -> {art} ({n} bytes)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"engine serialization unsupported here: {e}",
+                  file=sys.stderr)
     compile_s = time.time() - t0
 
-    for k in ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16"):
+    # batch-16 best engine (blocked w192 + in-kernel readouts): its own
+    # chained executable, also artifact-cached. Lowered while the env
+    # vars are still set (trace-time reads, see note above).
+    L16 = 30
+    yb16 = jnp.tile(y_example, (16, 1, 1, 1, 1))
+    art16 = os.path.join(
+        art_dir, f"best_chain_b16_L{L16}_"
+        f"NRX_DEPLOY_WBLK_B16={os.environ.get('NRX_DEPLOY_WBLK_B16', '')}"
+        ".npe")
+    long_b16 = short_b16 = None
+    t1 = time.time()
+    try:
+        if os.path.exists(art16):
+            try:
+                long_b16 = load_compiled(art16)
+                short_b16 = load_compiled(art16 + ".short")
+            except Exception:
+                long_b16 = short_b16 = None
+        if long_b16 is None:
+            long_b16 = jax.jit(chain(fn_best, L16)).lower(yb16).compile()
+            short_b16 = jax.jit(chain(fn_best, 1)).lower(yb16).compile()
+            try:
+                serialize_compiled(long_b16, art16)
+                serialize_compiled(short_b16, art16 + ".short")
+            except Exception:
+                pass
+    except Exception as e:
+        print(f"b16 best engine unavailable: {e}", file=sys.stderr)
+    compile_b16_s = time.time() - t1
+
+    for k in ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16",
+              "NRX_DEPLOY_MEGA"):
         os.environ.pop(k, None)
     fn_safe, _ = g.entry()
     short_safe = jax.jit(chain(fn_safe, 1)).lower(y_example).compile()
     np.asarray(short_safe(y_example))
     np.asarray(long_best(y_example))
 
-    def med(f, reps=10):
+    def med(f, x, reps=10):
         ts = []
         for _ in range(reps):
             t1 = time.perf_counter()
-            np.asarray(f(y_example))
+            np.asarray(f(x))
             ts.append(time.perf_counter() - t1)
         return float(np.median(ts))
 
-    delta_ms = (med(long_best) - med(short_safe)) * 1e3
+    delta_ms = (med(long_best, y_example)
+                - med(short_safe, y_example)) * 1e3
     dev_ms = (delta_ms + t_safe) / L
-    print(json.dumps({"dev_ms": round(dev_ms, 4),
-                      "compile_s": round(compile_s, 1)}), flush=True)
+    out = {"dev_ms": round(dev_ms, 4), "compile_s": round(compile_s, 1)}
+    if long_b16 is not None:
+        np.asarray(short_b16(yb16))
+        np.asarray(long_b16(yb16))
+        ms16 = (med(long_b16, yb16) - med(short_b16, yb16)) * 1e3 \
+            / (L16 - 1)
+        out["dev_b16_ms"] = round(ms16, 4)
+        out["compile_b16_s"] = round(compile_b16_s, 1)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -131,6 +131,52 @@ def test_cgnn_apply_fused_readout_matches_default():
                                rtol=5e-5, atol=5e-5)
 
 
+def test_cgnn_apply_fused_full_matches_default():
+    """fused_full=True (whole-receiver mega-kernel: init + iterations +
+    readouts in ONE pallas_call) == default path at LLR AND chest
+    level, including an inactive user."""
+    cfg, params, s, pe = _setup()
+    b, t, sym, sc = 2, 2, 14, 48
+    y = jax.random.normal(jax.random.PRNGKey(3), (b, sym, sc, 8))
+    h = jax.random.normal(jax.random.PRNGKey(4), (b, t, sym, sc, 8))
+    act = jnp.asarray([[1.0, 1.0], [1.0, 0.0]])
+    mm = jnp.ones((b, t, 1))
+    want, wh = cgnn_apply(params, cfg, y, pe, h, act, mm)
+    cfg_f = dataclasses.replace(cfg, fused_full=True)
+    got, gh = cgnn_apply(params, cfg_f, y, pe, h, act, mm)
+    assert len(got) == 1 and len(gh) == 1
+    np.testing.assert_allclose(np.asarray(got[-1][0]),
+                               np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gh[-1]), np.asarray(wh[-1]),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_cgnn_apply_fused_full_bucket_padded():
+    """Mega-kernel under pad-to-bucket dispatch: valid-column outputs
+    match the direct-width mega-kernel run."""
+    cfg, params, s, pe = _setup(sc=48)
+    b, t, sym, sc = 2, 2, 14, 48
+    y = jax.random.normal(jax.random.PRNGKey(3), (b, sym, sc, 8))
+    h = jax.random.normal(jax.random.PRNGKey(4), (b, t, sym, sc, 8))
+    act = jnp.ones((b, t))
+    mm = jnp.ones((b, t, 1))
+    cfg_f = dataclasses.replace(cfg, fused_full=True)
+    want, wh = cgnn_apply(params, cfg_f, y, pe, h, act, mm)
+    pad = 16
+    yp = jnp.pad(y, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    hp = jnp.pad(h, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    pep = jnp.pad(pe, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    got, gh = cgnn_apply(params, cfg_f, yp, pep, hp, act, mm,
+                         sc_valid=jnp.int32(sc))
+    np.testing.assert_allclose(np.asarray(got[-1][0])[:, :, :, :sc],
+                               np.asarray(want[-1][0]),
+                               rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(gh[-1])[:, :, :, :sc],
+                               np.asarray(wh[-1]),
+                               rtol=5e-5, atol=5e-5)
+
+
 def test_cgnn_apply_fused_readout_bucket_padded():
     """fused_readout under pad-to-bucket dispatch: LLRs on the valid
     columns match the direct-width run."""
