@@ -47,8 +47,13 @@ EOF
 REFW=/root/reference/weights
 
 # ---- 0: offline AOT engine artifacts (local, chip-free) -------------
+# a dead topology client leaves a stale libtpu lockfile; clear before
+# each build (NOTES_ROUND5 gotcha)
+rm -f /tmp/libtpu_lockfile
 run 2400 python scripts/offline_aot_engine.py wholegrid
+rm -f /tmp/libtpu_lockfile
 run 2400 python scripts/offline_aot_engine.py mega
+rm -f /tmp/libtpu_lockfile
 run 1800 python scripts/offline_aot_engine.py w192
 
 # ---- 1: chip gate + pre-checks --------------------------------------
