@@ -39,7 +39,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .sepconv_pallas import (_run_stack, _flatten_weights, _valid_range,
-                             _mxu_default, _lp_default)
+                             _mxu_default, _lp_default,
+                             _interpret_default)
 
 
 def _iter_kernel(num_tx, n_hidden, halo, w_blk, out_dtype, mxu,
@@ -208,8 +209,7 @@ def _fused_iteration_impl(agg_p, upd_p, s, pe, active_tx, sc_valid,
                           interpret: bool | None = None,
                           mxu: bool = False, lp_stencil: bool = False,
                           readout_p=None, chest_p=None):
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    interpret = _interpret_default(interpret)
     layers = list(upd_p["hidden"]) + [upd_p["out"]]
     b, t, h, w, d_s = s.shape
     assert t == num_tx
@@ -417,8 +417,7 @@ def _fused_cgnn_full_impl(init_p, it_ps, ro_p, ch_p, z0, pe, active_tx,
                           sc_valid, num_tx: int, num_it: int,
                           interpret: bool | None = None,
                           lp_stencil: bool = False):
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    interpret = _interpret_default(interpret)
     b, t, h, w, c_in = z0.shape
     assert t == num_tx
     dtype = z0.dtype

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..phy.nr.ldpc import LDPCCode
+from .sepconv_pallas import _interpret_default
 
 _ALPHA = 0.8125  # normalized min-sum scaling (matches ldpc.py minsum)
 
@@ -100,8 +101,7 @@ def make_decoder(code: LDPCCode, num_iter: int = 20,
     interpret=None auto-selects pallas interpret mode off-TPU so the
     fast path also runs on CPU (tests, debug)."""
     import jax
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    interpret = _interpret_default(interpret)
     if tile is None:
         tile = auto_tile(code)
     z = code.z

@@ -212,6 +212,20 @@ def _valid_range(sc_valid, w):
     return sc_valid, True
 
 
+def _interpret_default(interpret):
+    """None -> interpret off-TPU (CPU tests / virtual-mesh dryruns) —
+    UNLESS NRX_FORCE_MOSAIC=1: offline AOT compilation via the v5e
+    topology client runs with default_backend()=="cpu" while targeting
+    real TPU, and silently interpret-lowering there ships an engine
+    artifact with NO Mosaic kernels in it (caught in round 5: the
+    'mega' engine compiled in 10 s instead of minutes)."""
+    if interpret is not None:
+        return interpret
+    if os.environ.get("NRX_FORCE_MOSAIC") == "1":
+        return False
+    return jax.default_backend() == "cpu"
+
+
 def _mxu_default(mxu):
     """None -> env opt-in NRX_CONV_MXU=1 (chip A/B knob)."""
     if mxu is None:
@@ -268,8 +282,7 @@ def fused_conv_stack(p, x, interpret: bool | None = None, sc_valid=None,
 def _fused_conv_stack_whole(p, x, sc_valid, masked: bool,
                             interpret: bool | None = None,
                             mxu: bool = False, lp_stencil: bool = False):
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    interpret = _interpret_default(interpret)
     layers = list(p["hidden"]) + [p["out"]]
     n, h, w, _ = x.shape
     c_out = layers[-1]["pw"].shape[1]
@@ -354,8 +367,7 @@ def fused_conv_stack_blocked(p, x, w_blk: int = 256,
     W is padded up to a multiple of w_blk internally (zero columns, then
     cropped), so any subcarrier count works. sc_valid: see
     fused_conv_stack (defaults to the full width)."""
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    interpret = _interpret_default(interpret)
     mxu = _mxu_default(mxu)
     lp_stencil = _lp_default(lp_stencil)
     layers = list(p["hidden"]) + [p["out"]]

@@ -23,6 +23,10 @@ import numpy as np
 
 
 def main():
+    # force real Mosaic lowering for kernels whose interpret arg is
+    # None (entry()'s full-surface check): default_backend() is "cpu"
+    # under the topology client, which would silently interpret-lower
+    os.environ["NRX_FORCE_MOSAIC"] = "1"
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

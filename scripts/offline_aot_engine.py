@@ -26,6 +26,12 @@ L16 = 30    # batch-16 chain length
 
 
 def main():
+    # CRITICAL: the kernels' interpret auto-detect keys off
+    # default_backend()=="cpu", which is true under the topology
+    # client even though we are targeting real TPU — without this the
+    # artifacts silently contain interpret-mode HLO with no Mosaic
+    # kernels (10 s "compiles", caught round 5)
+    os.environ["NRX_FORCE_MOSAIC"] = "1"
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
