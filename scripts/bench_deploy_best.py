@@ -108,8 +108,13 @@ def main():
             except Exception:
                 long_b16 = short_b16 = None
         if long_b16 is None:
-            long_b16 = jax.jit(chain(fn_best, L16)).lower(yb16).compile()
-            short_b16 = jax.jit(chain(fn_best, 1)).lower(yb16).compile()
+            # 96 MB scoped-vmem: at batch 16 XLA stacks the kernel's
+            # [16,14,1728,56] state outputs in vmem inside the scan
+            opts16 = {"xla_tpu_scoped_vmem_limit_kib": "98304"}
+            long_b16 = jax.jit(chain(fn_best, L16)).lower(
+                yb16).compile(compiler_options=opts16)
+            short_b16 = jax.jit(chain(fn_best, 1)).lower(
+                yb16).compile(compiler_options=opts16)
             try:
                 serialize_compiled(long_b16, art16)
                 serialize_compiled(short_b16, art16 + ".short")

@@ -48,6 +48,18 @@ def main():
     def build(name, env, chain_len, batch, copts=None):
         if filters and not any(f in name for f in filters):
             return
+        if os.environ.get("NRX_AOT_SKIP_EXISTING") == "1":
+            tag0 = "-".join(f"{k}={env.get(k, '')}"
+                            for k in ("NRX_DEPLOY_WBLK_B1",
+                                      "NRX_DEPLOY_MEGA"))
+            p0 = (f"deploy_out/best_chain_b16_L{chain_len}_"
+                  f"NRX_DEPLOY_WBLK_B16="
+                  f"{env.get('NRX_DEPLOY_WBLK_B16', '')}.npe"
+                  if batch > 1 else
+                  f"deploy_out/best_chain_b1_L{chain_len}_{tag0}.npe")
+            if os.path.exists(p0):
+                print(f"SKIP {name}: {p0} exists", flush=True)
+                return
         for k in ("NRX_DEPLOY_WBLK_B1", "NRX_DEPLOY_WBLK_B16",
                   "NRX_DEPLOY_MEGA"):
             os.environ.pop(k, None)
@@ -86,10 +98,12 @@ def main():
             print(f"OK   {name}: {path} ({n / 2**20:.1f} MiB, "
                   f"compile {time.time() - t0:.1f}s)", flush=True)
             if batch > 1:
-                # the measurement also needs the short chain
-                short = jax.jit(
-                    lambda yy: run_short(fn, params, yy)).lower(
-                        sarg).compile()
+                # the measurement also needs the short chain (same
+                # compiler options — the vmem budget applies to it too)
+                lowered_s = jax.jit(
+                    lambda yy: run_short(fn, params, yy)).lower(sarg)
+                short = (lowered_s.compile(compiler_options=copts)
+                         if copts else lowered_s.compile())
                 serialize_compiled(short, path + ".short")
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:800]}",
@@ -106,7 +120,11 @@ def main():
     build("wholegrid b1", {"NRX_DEPLOY_WBLK_B1": "4096"}, L, 1,
           copts=vm64)
     build("mega b1", {"NRX_DEPLOY_MEGA": "1"}, L, 1, copts=vm96)
-    build("w192 b16", {"NRX_DEPLOY_WBLK_B16": "192"}, L16, 16)
+    # 96 MB budget: at batch 16 XLA places the kernel's two [16, 14,
+    # 1728, 56] state outputs (83 M) on the scoped-vmem stack inside
+    # the scan body; the blocked kernel's own working set is ~10 M
+    build("w192 b16", {"NRX_DEPLOY_WBLK_B16": "192"}, L16, 16,
+          copts=vm96)
 
 
 if __name__ == "__main__":

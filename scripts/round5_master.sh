@@ -50,10 +50,13 @@ REFW=/root/reference/weights
 # a dead topology client leaves a stale libtpu lockfile; clear before
 # each build (NOTES_ROUND5 gotcha)
 rm -f /tmp/libtpu_lockfile
+export NRX_AOT_SKIP_EXISTING=1
 run 2400 python scripts/offline_aot_engine.py wholegrid
 rm -f /tmp/libtpu_lockfile
+export NRX_AOT_SKIP_EXISTING=1
 run 2400 python scripts/offline_aot_engine.py mega
 rm -f /tmp/libtpu_lockfile
+export NRX_AOT_SKIP_EXISTING=1
 run 1800 python scripts/offline_aot_engine.py w192
 
 # ---- 1: chip gate + pre-checks --------------------------------------
