@@ -171,9 +171,14 @@ def main():
         return
     if best["dev_ms"] < dev_ms:
         ex = dict(extra)
-        ex["engine"] = ("batch-1: whole-grid fused iteration (64MB "
-                        "scoped vmem); batch-16 numbers above are the "
-                        "default engine's")
+        names = {"wholegrid": "whole-grid fused iteration (64MB scoped "
+                              "vmem)",
+                 "mega": "whole-receiver mega-kernel (init+iterations+"
+                         "readouts in one pallas_call, 96MB scoped "
+                         "vmem)"}
+        ex["engine"] = ("batch-1: "
+                        + names.get(best.get("engine", "wholegrid"),
+                                    best.get("engine", "?")))
         ex["fallback_engine_ms"] = round(dev_ms, 4)
         ex["compile_s"] = round(best.get("compile_s", 0.0), 1)
         if best.get("dev_b16_ms"):

@@ -140,10 +140,35 @@ def main():
             ts.append(time.perf_counter() - t1)
         return float(np.median(ts))
 
-    delta_ms = (med(long_best, y_example)
-                - med(short_safe, y_example)) * 1e3
+    t_short_safe = med(short_safe, y_example)
+    delta_ms = (med(long_best, y_example) - t_short_safe) * 1e3
     dev_ms = (delta_ms + t_safe) / L
-    out = {"dev_ms": round(dev_ms, 4), "compile_s": round(compile_s, 1)}
+    engine = "wholegrid"
+
+    # secondary b1 candidate: the MEGA engine artifact (one kernel for
+    # the whole receiver). Load-only — if its artifact is absent or
+    # rejected, the primary stands; measuring a loaded engine costs
+    # ~10 chained calls.
+    alt = os.path.join(
+        art_dir, f"best_chain_b1_L{L}_NRX_DEPLOY_WBLK_B1="
+        "-NRX_DEPLOY_MEGA=1.npe")
+    if os.path.abspath(alt) != os.path.abspath(art) and \
+            os.path.exists(alt):
+        try:
+            long_mega = load_compiled(alt)
+            np.asarray(long_mega(y_example))
+            mega_ms = ((med(long_mega, y_example) - t_short_safe) * 1e3
+                       + t_safe) / L
+            print(f"mega engine: {mega_ms:.4f} ms/slot vs "
+                  f"{dev_ms:.4f} wholegrid", file=sys.stderr)
+            if mega_ms < dev_ms:
+                dev_ms, engine = mega_ms, "mega"
+        except Exception as e:
+            print(f"mega artifact unusable: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    out = {"dev_ms": round(dev_ms, 4), "compile_s": round(compile_s, 1),
+           "engine": engine}
     if long_b16 is not None:
         np.asarray(short_b16(yb16))
         np.asarray(long_b16(yb16))
