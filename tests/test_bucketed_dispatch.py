@@ -140,6 +140,26 @@ class TestBucketedDispatch:
             np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_serialized_compiled_executable_roundtrip(self, tmp_path):
+        """serialize_compiled / load_compiled: a COMPILED executable
+        (the machine-code-level TRT .plan analog — loading skips XLA
+        compilation) reproduces the live outputs bit-exactly."""
+        import jax
+        import jax.numpy as jnp
+        from neural_rx_tpu.deploy.aot import (serialize_compiled,
+                                              load_compiled)
+        f = jax.jit(lambda x: (x @ x.T, jnp.sum(x, axis=0)))
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
+                        jnp.float32)
+        compiled = f.lower(x).compile()
+        want = compiled(x)
+        path = tmp_path / "exe.npe"
+        n = serialize_compiled(compiled, str(path))
+        assert n > 100 and path.exists()
+        got = load_compiled(str(path))(x)
+        for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
     def test_pilot_count_mismatch_rejected(self):
         import pytest
         from neural_rx_tpu.deploy.aot import BucketedReceiver
