@@ -144,21 +144,36 @@ class TestBucketedDispatch:
         """serialize_compiled / load_compiled: a COMPILED executable
         (the machine-code-level TRT .plan analog — loading skips XLA
         compilation) reproduces the live outputs bit-exactly."""
-        import jax
-        import jax.numpy as jnp
-        from neural_rx_tpu.deploy.aot import (serialize_compiled,
-                                              load_compiled)
-        f = jax.jit(lambda x: (x @ x.T, jnp.sum(x, axis=0)))
-        x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)),
-                        jnp.float32)
-        compiled = f.lower(x).compile()
-        want = compiled(x)
-        path = tmp_path / "exe.npe"
-        n = serialize_compiled(compiled, str(path))
-        assert n > 100 and path.exists()
-        got = load_compiled(str(path))(x)
-        for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
-            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+        # subprocess with ONE CPU device: the suite's 8-virtual-device
+        # mesh breaks executable RELOAD (deserialize_and_load rebuilds
+        # input shardings over all local devices); the deployment
+        # environment is single-device, so test that
+        import subprocess
+        import sys
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=1")
+        code = f"""
+import jax, numpy as np, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from neural_rx_tpu.deploy.aot import serialize_compiled, load_compiled
+f = jax.jit(lambda x: (x @ x.T, jnp.sum(x, axis=0)))
+x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32)
+compiled = f.lower(x).compile()
+want = compiled(x)
+path = {repr(str(tmp_path))} + "/exe.npe"
+n = serialize_compiled(compiled, path)
+assert n > 100
+got = load_compiled(path)(x)
+for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+print("ROUNDTRIP_OK")
+"""
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, timeout=240)
+        assert "ROUNDTRIP_OK" in r.stdout, (r.stdout[-500:],
+                                            r.stderr[-1000:])
 
     def test_pilot_count_mismatch_rejected(self):
         import pytest
