@@ -27,7 +27,8 @@ def main():
                     help="known default-engine ms/slot (skips its "
                          "measurement)")
     ap.add_argument("--engines", nargs="*",
-                    default=["wholegrid", "mega", "w192b16"])
+                    default=["wholegrid", "mega", "w192b16",
+                             "megab16"])
     args = ap.parse_args()
 
     import numpy as np
@@ -82,7 +83,12 @@ def main():
                  "xla_tpu_scoped_vmem_limit_kib=98304"),
         "w192b16": (f"deploy_out/best_chain_b16_L{L16}_"
                     "NRX_DEPLOY_WBLK_B16=192.npe",
-                    yb16, L16, {"NRX_DEPLOY_WBLK_B16": "192"}, None),
+                    yb16, L16, {"NRX_DEPLOY_WBLK_B16": "192"},
+                    "xla_tpu_scoped_vmem_limit_kib=98304"),
+        "megab16": (f"deploy_out/best_chain_b16_L{L16}_"
+                    "NRX_DEPLOY_WBLK_B16=.npe",
+                    yb16, L16, {"NRX_DEPLOY_MEGA": "1"},
+                    "xla_tpu_scoped_vmem_limit_kib=98304"),
     }
     for name in args.engines:
         path, y, n, env, copts = specs[name]

@@ -125,6 +125,7 @@ def main():
     # the scan body; the blocked kernel's own working set is ~10 M
     build("w192 b16", {"NRX_DEPLOY_WBLK_B16": "192"}, L16, 16,
           copts=vm96)
+    build("mega b16", {"NRX_DEPLOY_MEGA": "1"}, L16, 16, copts=vm96)
 
 
 if __name__ == "__main__":
