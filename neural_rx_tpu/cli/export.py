@@ -93,13 +93,24 @@ def main():
         stats = measure_latency(compiled, params, inputs)
         # persist the engine itself (TRT .plan analog): weights baked
         # in, loadable without the model-construction code path
-        from neural_rx_tpu.deploy.aot import serialize_engine
+        from neural_rx_tpu.deploy.aot import (serialize_engine,
+                                              serialize_compiled)
         eng_path = os.path.join(args.out,
                                 f"{pr.label}_{n_prb}prb.jaxengine")
         nbytes = serialize_engine(
             lambda *a: engine(params, *a), inputs, eng_path)
         stats["engine_file"] = os.path.basename(eng_path)
         stats["engine_bytes"] = nbytes
+        # also persist the COMPILED executable (machine-code level —
+        # loading skips XLA compilation entirely; platform-specific)
+        try:
+            npe_path = os.path.join(args.out,
+                                    f"{pr.label}_{n_prb}prb.npe")
+            stats["compiled_bytes"] = serialize_compiled(
+                compiled, npe_path)
+            stats["compiled_file"] = os.path.basename(npe_path)
+        except Exception as e:
+            stats["compiled_file"] = f"unsupported: {str(e)[:120]}"
         manifest["buckets"][n_prb] = stats
         print(f"bucket {n_prb} PRB: {stats}")
 
