@@ -169,11 +169,41 @@ def main():
 
     out = {"dev_ms": round(dev_ms, 4), "compile_s": round(compile_s, 1),
            "engine": engine}
+    ms16 = None
     if long_b16 is not None:
         np.asarray(short_b16(yb16))
         np.asarray(long_b16(yb16))
         ms16 = (med(long_b16, yb16) - med(short_b16, yb16)) * 1e3 \
             / (L16 - 1)
+        out["engine_b16"] = "w192"
+
+    # secondary b16 candidate: the MEGA engine artifact at batch 16.
+    # Load-only (like the b1 mega alt): absent/rejected -> w192 stands.
+    alt16 = os.path.join(
+        art_dir, f"best_chain_b16_L{L16}_NRX_DEPLOY_WBLK_B16=.npe")
+    if os.path.exists(alt16):
+        try:
+            mega16 = load_compiled(alt16)
+            try:
+                sh16 = load_compiled(alt16 + ".short")
+            except Exception:
+                sh16 = short_b16  # overhead anchor is engine-independent
+            if sh16 is None:
+                raise RuntimeError("no short-chain anchor available")
+            np.asarray(mega16(yb16))
+            np.asarray(sh16(yb16))
+            mega16_ms = (med(mega16, yb16) - med(sh16, yb16)) * 1e3 \
+                / (L16 - 1)
+            print(f"mega b16: {mega16_ms:.4f} ms/call vs "
+                  f"{ms16} w192", file=sys.stderr)
+            if ms16 is None or mega16_ms < ms16:
+                ms16 = mega16_ms
+                out["engine_b16"] = "mega"
+        except Exception as e:
+            print(f"mega b16 artifact unusable: {str(e)[:200]}",
+                  file=sys.stderr)
+
+    if ms16 is not None:
         out["dev_b16_ms"] = round(ms16, 4)
         out["compile_b16_s"] = round(compile_b16_s, 1)
     print(json.dumps(out), flush=True)
