@@ -120,6 +120,21 @@ def main():
                 print(json.dumps({"engine": name, "error":
                                   str(e)[:300]}), flush=True)
                 continue
+            # persist the chip-compiled executable: the axon runtime
+            # rejects topology-compiled artifacts (measured 2026-08-21),
+            # so the loadable artifact must come from a chip compile
+            try:
+                from neural_rx_tpu.deploy.aot import serialize_compiled
+                serialize_compiled(exe, path)
+                print(f"# {name}: serialized chip-compiled -> {path}",
+                      file=sys.stderr, flush=True)
+                if y.shape[0] > 1:
+                    sh = jax.jit(chain(fn2, 1)).lower(y).compile(
+                        compiler_options=(opts or None))
+                    serialize_compiled(sh, path + ".short")
+            except Exception as e:
+                print(f"# {name}: serialization failed: {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
         load_s = time.time() - t0
         try:
             if y.shape[0] == 1:
