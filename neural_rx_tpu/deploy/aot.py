@@ -167,7 +167,12 @@ def load_compiled(path: str):
     """Load a `serialize_compiled` artifact -> the compiled callable.
     Device/runtime-specific (like a TRT plan): the artifact only loads
     on the platform it was compiled for; callers should fall back to a
-    fresh compile on failure."""
+    fresh compile on failure. Measured 2026-08-21: the axon TPU runtime
+    REJECTS artifacts compiled by the chip-free v5e topology client
+    (scripts/offline_aot_engine.py), so a deployable artifact must come
+    from a chip-attached compile once per engine — after which reloads
+    take seconds. The topology build path remains useful as hermetic
+    compile falsification."""
     import pickle
     from jax.experimental import serialize_executable as se
     with open(path, "rb") as f:
